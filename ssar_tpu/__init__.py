@@ -1,0 +1,31 @@
+"""ssar_tpu — TPU-native self-supervised audio-reactive video synthesis framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+JCBrouwer/self-supervised-audio-reactive (reference mounted at /root/reference):
+
+- ``ssar_tpu.audio``    — differentiable librosa-equivalent DSP stack (reference:
+  ssar/features/rosa/*, ssar/features/audio.py) as pure-jnp static-shape programs.
+- ``ssar_tpu.ops``      — hot kernels (Pallas + XLA): absdiff, exact quantiles,
+  associative-scan IIR biquads, kaiser-sinc resampling, upfirdn2d, fused
+  modulated conv (reference: CUDA/Triton/C++ kernels in ssar/analysis/
+  efficient_quantile, ssar/models/sashimi/cauchy, ssar/metrics/absdiff.py,
+  maua's upfirdn2d/fused_bias_act).
+- ``ssar_tpu.gan``      — StyleGAN2 mapper/synthesizer (reference:
+  ssar/models/stylegan2.py + maua wrapper API) in NHWC bf16 with a
+  modulate-input/demodulate-output formulation that keeps convs on the MXU.
+- ``ssar_tpu.models``   — audio->latent sequence models (GRU/LSTM/conv/MLP/
+  transformer/S4 backbones, latent+noise decoders, HiPPO timeseries).
+- ``ssar_tpu.metrics``  — correlation zoo + reactivity metrics (losses & eval).
+- ``ssar_tpu.generate`` — random-patch system, MIR pipeline, test-time
+  optimization, audio2video inference.
+- ``ssar_tpu.train``    — supervised / self-supervised training under pjit.
+- ``ssar_tpu.parallel`` — device mesh + sharding helpers (DP over batch/frames,
+  optional TP over synthesis channels, SP over time).
+
+Global conventions follow the reference (SURVEY.md §0): audio is resampled to
+``sr = 1024 * fps`` so one STFT hop (1024 samples) equals one video frame;
+the canonical audio feature vector has 59 dims; latents are W+ sequences
+``(T, n_ws, 512)`` plus noise pyramids.
+"""
+
+__version__ = "0.1.0"
