@@ -1,0 +1,153 @@
+"""Constant-Q / Variable-Q transform with a static multirate plan.
+
+Equivalent of the recursive librosa-style CQT in
+ssar/features/rosa/constantq.py, redesigned for XLA:
+
+- The reference resamples octave-by-octave at runtime and builds torch
+  filterbanks on the fly.  XLA wants static shapes, so the whole plan —
+  per-octave signal lengths, FFT sizes, hops, and the complex FFT filter
+  bases — is computed *once per (sr, hop, length, tuning, ...) signature*
+  on the host in numpy and baked into the jitted program as constants.
+- The per-octave responses are dense complex matmuls `basis @ STFT`
+  (sparsification dropped: dense matmul is the MXU-friendly form;
+  SURVEY.md §7 "hard parts").
+- Octave halving uses the kaiser-sinc polyphase resampler
+  (ssar_tpu/ops/resample.py) with torchaudio's default lowpass width 6,
+  matching the reference's `resampling_method="kaiser_window"` call
+  (constantq.py:86).
+
+Tuning estimation (a data-dependent scalar) is resolved on the host and
+quantised to the estimator's own 0.01-bin grid, so jit caching stays finite;
+see ssar_tpu/audio/pitch.py.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from math import ceil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resample import resample
+from ..utils.platform import complex_const
+from .convert import C1_HZ
+from .spectral import stft
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _hann_periodic(n: int) -> np.ndarray:
+    return 0.5 * (1 - np.cos(2 * np.pi * np.arange(n) / n))
+
+
+def constant_q_lengths(sr: float, fmin: float, n_bins: int, bins_per_octave: int,
+                       filter_scale: float = 1.0, gamma: float = 0.0) -> np.ndarray:
+    alpha = 2.0 ** (1.0 / bins_per_octave) - 1.0
+    Q = float(filter_scale) / alpha
+    freq = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    return Q * sr / (freq + gamma / alpha)
+
+
+def _constant_q_basis(sr: float, fmin: float, n_bins: int, bins_per_octave: int,
+                      filter_scale: float = 1.0, gamma: float = 0.0):
+    """Time-domain CQ filters, hann-windowed complex exponentials, L1-normed,
+    centre-padded to the next power of two (constantq.py:223-263)."""
+    lengths = constant_q_lengths(sr, fmin, n_bins, bins_per_octave, filter_scale, gamma)
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+
+    max_len = int(2.0 ** np.ceil(np.log2(np.max(lengths))))
+    filters = np.zeros((n_bins, max_len), dtype=np.complex128)
+    for k, (ilen, freq) in enumerate(zip(lengths, freqs)):
+        ilen2 = int(ilen // 2)
+        n = np.arange(-ilen2, ilen2)
+        sig = np.exp(1j * 2 * np.pi * freq / sr * n) * _hann_periodic(len(n))
+        sig = sig / np.sum(np.abs(sig))
+        lpad = (max_len - len(sig)) // 2
+        filters[k, lpad : lpad + len(sig)] = sig
+    return filters, lengths
+
+
+@lru_cache(maxsize=32)
+def _cqt_filter_fft(sr: float, fmin: float, n_bins: int, bins_per_octave: int,
+                    filter_scale: float = 1.0, gamma: float = 0.0):
+    """FFT-domain basis (n_bins, n_fft//2 + 1) complex64 + n_fft."""
+    basis, lengths = _constant_q_basis(sr, fmin, n_bins, bins_per_octave, filter_scale, gamma)
+    n_fft = basis.shape[1]
+    basis = basis * (lengths[:, None] / float(n_fft))
+    fft_basis = np.fft.fft(basis, n=n_fft, axis=1)[:, : n_fft // 2 + 1]
+    return fft_basis.astype(np.complex64), n_fft
+
+
+def _num_two_factors(x: int) -> int:
+    if x <= 0:
+        return 0
+    n = 0
+    while x % 2 == 0:
+        n += 1
+        x //= 2
+    return n
+
+
+def cqt(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None = None,
+        n_bins: int = 84, bins_per_octave: int = 12, tuning: float | None = 0.0,
+        filter_scale: float = 1.0) -> jax.Array:
+    return vqt(y, sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins, gamma=0.0,
+               bins_per_octave=bins_per_octave, tuning=tuning, filter_scale=filter_scale)
+
+
+def vqt(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None = None,
+        n_bins: int = 84, gamma: float | None = None, bins_per_octave: int = 12,
+        tuning: float | None = 0.0, filter_scale: float = 1.0) -> jax.Array:
+    """Complex VQT, shape (n_bins, T) with T = len(y) // hop_length.
+
+    `tuning=None` estimates tuning from the signal (host round-trip through
+    a 0.01-quantised grid; one extra jit specialisation per distinct value).
+    """
+    n_octaves = int(np.ceil(float(n_bins) / bins_per_octave))
+    n_filters = min(bins_per_octave, n_bins)
+    alpha = 2.0 ** (1.0 / bins_per_octave) - 1.0
+
+    if fmin is None:
+        fmin = C1_HZ
+    if tuning is None:
+        from .pitch import estimate_tuning
+
+        tuning = float(estimate_tuning(y, sr, bins_per_octave=bins_per_octave))
+    if gamma is None:
+        gamma = 24.7 * alpha / 0.108
+
+    fmin = fmin * 2.0 ** (tuning / bins_per_octave)
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    fmin_t = float(np.min(freqs[-bins_per_octave:]))
+
+    if _num_two_factors(hop_length) < n_octaves - 1:
+        raise ValueError(f"hop_length must be a multiple of 2^{n_octaves - 1} for a {n_octaves}-octave CQT/VQT")
+
+    responses = []
+    my_y, my_sr, my_hop = y, float(sr), hop_length
+    my_len = y.shape[0]
+    for i in range(n_octaves):
+        if i > 0:
+            my_y = resample(my_y, 2, 1, lowpass_filter_width=6) * np.sqrt(2)
+            my_sr /= 2.0
+            my_hop //= 2
+            my_len = ceil(my_len / 2)
+        fft_basis, n_fft = _cqt_filter_fft(my_sr, fmin_t * 2.0**-i, n_filters, bins_per_octave,
+                                           filter_scale, gamma)
+        fft_basis = fft_basis * np.sqrt(2**i)
+        D = stft(my_y, n_fft=n_fft, hop_length=my_hop, window=None, pad_mode="reflect")[:, :-1]
+        # complex_const: the axon runtime can't upload complex constants eagerly
+        responses.append(jnp.matmul(complex_const(fft_basis), D, precision=HIGHEST))
+
+    max_col = min(r.shape[-1] for r in responses)
+    rows = []
+    end = n_bins
+    for r in responses:  # top octave first (constantq.py:167-186)
+        n_oct = r.shape[0]
+        rows.append(r[-min(end, n_oct):, :max_col])
+        end -= n_oct
+    V = jnp.concatenate(rows[::-1], axis=0)
+
+    lengths = constant_q_lengths(sr, fmin, n_bins, bins_per_octave, filter_scale, gamma)
+    return V / jnp.sqrt(jnp.asarray(lengths[:, None], dtype=V.real.dtype))

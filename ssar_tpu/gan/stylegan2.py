@@ -1,0 +1,255 @@
+"""StyleGAN2 generator — functional JAX, NHWC, MXU-shaped modulated convs.
+
+Re-provides the synthesis capability the reference delegates to maua /
+rosinality (ssar/models/stylegan2.py, SURVEY.md §2.9) with a TPU-first
+design rather than a translation:
+
+- **Modulate-input / demodulate-output**: the reference builds per-sample
+  weights and runs a grouped conv with groups=B (stylegan2.py:253-345) —
+  hostile to the MXU.  Because conv is linear, ``conv(x * s, W) * d`` is
+  mathematically identical (demodulation is a per-(batch, out-channel)
+  scalar), so we run ONE dense batched conv and fold style/demod into
+  cheap elementwise pre/post-scales that XLA fuses.
+- **NHWC + bf16**: activations in bf16, demod accumulation in f32,
+  params stored f32.
+- **upfirdn2d / fused_bias_act** ride ssar_tpu.ops.upfirdn (XLA-fused).
+
+Weight tensors are stored in torch-free layout (kh, kw, in, out); the
+rosinality checkpoint converter lives in ssar_tpu/gan/convert.py.
+
+Layer structure follows the StyleGAN2 paper/rosinality topology so that
+converted checkpoints reproduce reference imagery: const 4x4 input,
+one 3x3 styled conv at 4x4, then per doubled resolution [up-conv, conv,
+to_rgb with skip], noise injection per styled conv.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.upfirdn import fused_leaky_relu, make_blur_kernel, upfirdn2d, upsample2x
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class StyleGAN2Config:
+    resolution: int = 1024
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+    blur_kernel: tuple = (1, 3, 3, 1)
+    lr_mlp: float = 0.01
+
+    @property
+    def log_size(self) -> int:
+        return int(np.log2(self.resolution))
+
+    @property
+    def n_latent(self) -> int:
+        """Number of W+ rows (18 for 1024px)."""
+        return self.log_size * 2 - 2
+
+    @property
+    def num_layers(self) -> int:
+        """Number of noise inputs (17 for 1024px)."""
+        return (self.log_size - 2) * 2 + 1
+
+    def channels(self) -> dict[int, int]:
+        cm = self.channel_multiplier
+        return {
+            4: 512, 8: 512, 16: 512, 32: 512,
+            64: 256 * cm, 128: 128 * cm, 256: 64 * cm, 512: 32 * cm, 1024: 16 * cm,
+        }
+
+    def noise_shapes(self) -> list[tuple[int, int]]:
+        shapes = [(4, 4)]
+        for i in range(3, self.log_size + 1):
+            shapes += [(2**i, 2**i)] * 2
+        return shapes
+
+
+# ------------------------------------------------------------------ init --
+def init_generator(key: jax.Array, config: StyleGAN2Config) -> dict:
+    """Random init matching StyleGAN2 distributions (N(0,1) raw weights +
+    runtime equalized-lr scaling)."""
+    chans = config.channels()
+    keys = iter(jax.random.split(key, 256))
+
+    def linear(in_f, out_f, bias_init=0.0, lr_mul=1.0):
+        # equalized-lr: raw weight ~ N(0, 1/lr_mul^2); runtime scale
+        # (1/sqrt(in)) * lr_mul restores unit-variance activations
+        return {
+            "weight": jax.random.normal(next(keys), (in_f, out_f), jnp.float32) / lr_mul,
+            "bias": jnp.full((out_f,), bias_init, jnp.float32),
+        }
+
+    def styled_conv(in_ch, out_ch, k):
+        return {
+            "weight": jax.random.normal(next(keys), (k, k, in_ch, out_ch), jnp.float32),
+            "mod": linear(config.style_dim, in_ch, bias_init=1.0),
+            "noise_weight": jnp.zeros((), jnp.float32),
+            "bias": jnp.zeros((out_ch,), jnp.float32),
+        }
+
+    def to_rgb(in_ch):
+        return {
+            "weight": jax.random.normal(next(keys), (1, 1, in_ch, 3), jnp.float32),
+            "mod": linear(config.style_dim, in_ch, bias_init=1.0),
+            "bias": jnp.zeros((3,), jnp.float32),
+        }
+
+    params: dict[str, Any] = {
+        "mapping": [linear(config.style_dim, config.style_dim, lr_mul=config.lr_mlp)
+                    for _ in range(config.n_mlp)],
+        "const": jax.random.normal(next(keys), (4, 4, chans[4]), jnp.float32),
+        "conv1": styled_conv(chans[4], chans[4], 3),
+        "to_rgb1": to_rgb(chans[4]),
+        "convs": [],
+        "to_rgbs": [],
+        "w_avg": jnp.zeros((config.style_dim,), jnp.float32),
+    }
+    in_ch = chans[4]
+    for i in range(3, config.log_size + 1):
+        out_ch = chans[2**i]
+        params["convs"].append(styled_conv(in_ch, out_ch, 3))   # up-conv
+        params["convs"].append(styled_conv(out_ch, out_ch, 3))  # regular conv
+        params["to_rgbs"].append(to_rgb(out_ch))
+        in_ch = out_ch
+    return params
+
+
+# --------------------------------------------------------------- mapping --
+def equal_linear(p: dict, x: jax.Array, lr_mul: float = 1.0, activation: bool = False) -> jax.Array:
+    in_f = p["weight"].shape[0]
+    scale = (1.0 / np.sqrt(in_f)) * lr_mul
+    out = jnp.matmul(x, p["weight"] * scale, precision=HIGHEST)
+    if activation:
+        return fused_leaky_relu(out, p["bias"] * lr_mul)
+    return out + p["bias"] * lr_mul
+
+
+def pixel_norm(x: jax.Array) -> jax.Array:
+    return x * jax.lax.rsqrt(jnp.mean(x**2, axis=-1, keepdims=True) + 1e-8)
+
+
+def mapping(params: dict, z: jax.Array, config: StyleGAN2Config) -> jax.Array:
+    """z (B, 512) -> w (B, 512)."""
+    x = pixel_norm(z)
+    for layer in params["mapping"]:
+        x = equal_linear(layer, x, lr_mul=config.lr_mlp, activation=True)
+    return x
+
+
+def w_to_wplus(w: jax.Array, config: StyleGAN2Config) -> jax.Array:
+    return jnp.repeat(w[:, None, :], config.n_latent, axis=1)
+
+
+# ------------------------------------------------------------- synthesis --
+def _modulated_conv(p: dict, x: jax.Array, w: jax.Array, *, up: bool = False,
+                    demodulate: bool = True, blur_kernel=(1, 3, 3, 1),
+                    dtype=jnp.float32) -> jax.Array:
+    """Styled conv via input-modulation / output-demodulation.
+
+    x: (B, H, W, Cin) NHWC; w: (B, style_dim).  Equivalent to the reference's
+    per-sample-weight grouped conv (ssar/models/stylegan2.py:253-345) but as
+    one dense conv: style scales the input channels, demod rescales output
+    channels; both are rank-1 w.r.t. the conv and commute with it.
+    """
+    weight = p["weight"]  # (kh, kw, in, out) raw
+    kh, kw, cin, cout = weight.shape
+    wscale = 1.0 / np.sqrt(cin * kh * kw)
+
+    style = equal_linear(p["mod"], w)  # (B, cin)
+
+    if demodulate:
+        # demod_bo = rsqrt(sum_{i,k} (scale * W_{k i o} * s_{b i})^2 + eps) — f32
+        w2 = (weight.astype(jnp.float32) * wscale) ** 2  # (kh,kw,cin,cout)
+        w2 = jnp.sum(w2, axis=(0, 1))  # (cin, cout)
+        demod = jax.lax.rsqrt(jnp.matmul(style.astype(jnp.float32) ** 2, w2, precision=HIGHEST) + 1e-8)
+
+    xs = (x * style[:, None, None, :]).astype(dtype)
+    kernel = (weight * wscale).astype(dtype)
+
+    if up:
+        # transposed conv stride 2 (torch semantics) + blur, as in the reference
+        out = jax.lax.conv_transpose(
+            xs, kernel, strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        )
+        k = make_blur_kernel(blur_kernel) * 4.0
+        p_ = (len(blur_kernel) - 2) - (kh - 1)
+        pad0 = (p_ + 1) // 2 + 1
+        pad1 = p_ // 2 + 1
+        out = upfirdn2d(out, jnp.asarray(k, dtype), pad=(pad0, pad1))
+    else:
+        out = jax.lax.conv_general_dilated(
+            xs, kernel, window_strides=(1, 1), padding=((kh // 2,) * 2, (kw // 2,) * 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    if demodulate:
+        out = out * demod[:, None, None, :].astype(out.dtype)
+    return out
+
+
+def styled_conv(p: dict, x: jax.Array, w: jax.Array, noise: jax.Array | None, *,
+                up: bool = False, blur_kernel=(1, 3, 3, 1), dtype=jnp.float32) -> jax.Array:
+    out = _modulated_conv(p, x, w, up=up, demodulate=True, blur_kernel=blur_kernel, dtype=dtype)
+    if noise is not None:
+        out = out + p["noise_weight"].astype(out.dtype) * noise.astype(out.dtype)
+    return fused_leaky_relu(out, p["bias"].astype(out.dtype))
+
+
+def to_rgb(p: dict, x: jax.Array, w: jax.Array, skip: jax.Array | None = None,
+           dtype=jnp.float32) -> jax.Array:
+    out = _modulated_conv(p, x, w, demodulate=False, dtype=dtype) + p["bias"].astype(dtype)
+    if skip is not None:
+        out = out + upsample2x(skip)
+    return out
+
+
+def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
+              config: StyleGAN2Config, *, dtype=jnp.float32, output_size: int | None = None) -> jax.Array:
+    """W+ latents (B, n_latent, 512) [+ noises list of (B, H, W, 1)] -> images
+    (B, R, R, 3) in [-1, 1] (unclamped).
+
+    `output_size` < native resolution early-exits at the matching skip
+    branch — the progressive to_rgb skips make every intermediate resolution
+    a valid image (TPU-friendly way to render small previews).
+    """
+    B = latents.shape[0]
+    if noises is None:
+        noises = [None] * config.num_layers
+
+    x = jnp.broadcast_to(params["const"].astype(dtype), (B,) + params["const"].shape)
+    x = styled_conv(params["conv1"], x, latents[:, 0], noises[0], dtype=dtype)
+    skip = to_rgb(params["to_rgb1"], x, latents[:, 1], dtype=dtype)
+
+    if output_size is not None and output_size == 4:
+        return skip.astype(jnp.float32)
+
+    i = 1
+    for level, (conv_up, conv) in enumerate(zip(params["convs"][::2], params["convs"][1::2])):
+        res = 2 ** (level + 3)
+        x = styled_conv(conv_up, x, latents[:, i], noises[i], up=True, dtype=dtype)
+        x = styled_conv(conv, x, latents[:, i + 1], noises[i + 1], dtype=dtype)
+        skip = to_rgb(params["to_rgbs"][level], x, latents[:, i + 2], skip, dtype=dtype)
+        i += 2
+        if output_size is not None and res >= output_size:
+            break
+    return skip.astype(jnp.float32)
+
+
+def generate(params: dict, z: jax.Array, config: StyleGAN2Config, *, truncation: float = 1.0,
+             noises: list[jax.Array] | None = None, dtype=jnp.float32) -> jax.Array:
+    """z (B, 512) -> images; convenience wrapper: mapping + broadcast + synthesis."""
+    w = mapping(params, z, config)
+    if truncation < 1.0:
+        w = params["w_avg"] + truncation * (w - params["w_avg"])
+    return synthesis(params, w_to_wplus(w, config), noises, config, dtype=dtype)

@@ -21,3 +21,21 @@ def on_tpu() -> bool:
 def pallas_interpret() -> bool:
     """Whether pallas_call should run in interpreter mode (non-TPU backends)."""
     return not on_tpu()
+
+
+def complex_const(c):
+    """Upload a host complex array as two f32 planes + on-device combine.
+
+    The axon TPU runtime cannot transfer complex dtypes across the host
+    boundary (UNIMPLEMENTED); on-device complex compute is fine.  Use this
+    for any eager materialisation of a numpy complex constant.  Inside jit,
+    plain ``jnp.asarray`` works (the constant is embedded in the program).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    c = np.asarray(c)
+    re = jnp.asarray(np.ascontiguousarray(c.real), dtype=jnp.float32)
+    im = jnp.asarray(np.ascontiguousarray(c.imag), dtype=jnp.float32)
+    return jax.lax.complex(re, im)

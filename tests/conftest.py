@@ -10,6 +10,13 @@ import os
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# JAX_PLATFORMS; this post-import config update reliably pins tests to the
+# virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,171 @@
+"""StyleGAN2 synthesis tests: op parity vs definitional oracles + API surface."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal as sps
+
+from ssar_tpu.gan import (
+    StyleGAN2,
+    StyleGAN2Config,
+    StyleGAN2Mapper,
+    StyleGAN2Synthesizer,
+    VideoWriter,
+    make_noise_pyramid,
+)
+from ssar_tpu.gan import stylegan2 as sg
+from ssar_tpu.ops.upfirdn import upfirdn2d
+
+CFG = StyleGAN2Config(resolution=64)
+
+
+def test_upfirdn2d_matches_scipy(rng):
+    x = rng.randn(1, 8, 8, 2).astype(np.float32)
+    k1 = np.array([1.0, 3.0, 3.0, 1.0])
+    k2d = np.outer(k1, k1) / k1.sum() ** 2
+
+    def oracle(a, k, up, down, pad):
+        H, W = a.shape
+        u = np.zeros((H * up, W * up))
+        u[::up, ::up] = a
+        u = np.pad(u, ((pad[0], pad[1]), (pad[0], pad[1])))
+        return sps.convolve2d(u, k, mode="valid")[::down, ::down]
+
+    for up, down, pad in [(2, 1, (2, 1)), (1, 2, (1, 1)), (1, 1, (1, 1))]:
+        out = np.asarray(upfirdn2d(jnp.asarray(x), jnp.asarray(k2d, np.float32), up=up, down=down, pad=pad))
+        for c in range(2):
+            ref = oracle(x[0, :, :, c], k2d, up, down, pad)
+            np.testing.assert_allclose(out[0, :, :, c], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_modulated_conv_equals_grouped_conv_definition(rng):
+    """The input-modulation/output-demodulation trick must equal the
+    per-sample-weight grouped conv that defines StyleGAN2's modulated conv
+    (the reference's formulation, ssar/models/stylegan2.py:253-345)."""
+    B, H, W, cin, cout, k = 2, 5, 5, 4, 6, 3
+    x = rng.randn(B, H, W, cin).astype(np.float32)
+    weight = rng.randn(k, k, cin, cout).astype(np.float32)
+    style = rng.rand(B, cin).astype(np.float32) + 0.5
+    wscale = 1.0 / np.sqrt(cin * k * k)
+
+    p = {"weight": jnp.asarray(weight),
+         "mod": {"weight": jnp.zeros((8, cin), np.float32), "bias": jnp.zeros(cin, np.float32)}}
+
+    # monkeypatch equal_linear by injecting the style directly
+    out = sg._modulated_conv.__wrapped__ if hasattr(sg._modulated_conv, "__wrapped__") else None
+    # compute via public function but overriding the style projection:
+    orig = sg.equal_linear
+    try:
+        sg.equal_linear = lambda pp, w_: jnp.asarray(style)
+        got = np.asarray(sg._modulated_conv(p, jnp.asarray(x), jnp.zeros((B, 8))))
+    finally:
+        sg.equal_linear = orig
+
+    # definitional oracle: per-sample modulated + demodulated weights
+    ref = np.zeros((B, H, W, cout), np.float32)
+    for b in range(B):
+        wmod = weight * wscale * style[b][None, None, :, None]  # (k,k,cin,cout)
+        demod = 1.0 / np.sqrt((wmod**2).sum(axis=(0, 1, 2)) + 1e-8)
+        wmod = wmod * demod[None, None, None, :]
+        for o in range(cout):
+            acc = np.zeros((H, W))
+            for i in range(cin):
+                acc += sps.correlate2d(x[b, :, :, i], wmod[:, :, i, o], mode="same")
+            ref[b, :, :, o] = acc
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_generator_shapes_and_finite(rng):
+    params = sg.init_generator(jax.random.PRNGKey(0), CFG)
+    z = jnp.asarray(rng.randn(2, 512).astype(np.float32))
+    img = sg.generate(params, z, CFG)
+    assert img.shape == (2, 64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert CFG.n_latent == 10 and CFG.num_layers == 9
+
+
+def test_noise_injection_changes_output(rng):
+    params = sg.init_generator(jax.random.PRNGKey(0), CFG)
+    # noise weights start at 0; set them nonzero
+    params["conv1"]["noise_weight"] = jnp.asarray(1.0)
+    z = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+    w = sg.w_to_wplus(sg.mapping(params, z, CFG), CFG)
+    n0 = [jnp.zeros((1, h, wd, 1)) for h, wd in CFG.noise_shapes()]
+    n1 = [jnp.asarray(rng.randn(1, h, wd, 1).astype(np.float32)) for h, wd in CFG.noise_shapes()]
+    img0 = sg.synthesis(params, w, n0, CFG)
+    img1 = sg.synthesis(params, w, n1, CFG)
+    assert np.abs(np.asarray(img0 - img1)).max() > 1e-4
+
+
+def test_wplus_controls_layers(rng):
+    """Different W+ rows affect different resolutions (layerwise control)."""
+    params = sg.init_generator(jax.random.PRNGKey(0), CFG)
+    z = jnp.asarray(rng.randn(2, 512).astype(np.float32))
+    w = sg.mapping(params, z, CFG)
+    base = sg.w_to_wplus(w[:1], CFG)
+    mixed = base.at[:, 6:].set(sg.w_to_wplus(w[1:], CFG)[:, 6:])
+    i0 = sg.synthesis(params, base, None, CFG)
+    i1 = sg.synthesis(params, mixed, None, CFG)
+    assert np.abs(np.asarray(i0 - i1)).max() > 1e-4
+
+
+def test_early_exit_output_size(rng):
+    params = sg.init_generator(jax.random.PRNGKey(0), CFG)
+    z = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+    w = sg.w_to_wplus(sg.mapping(params, z, CFG), CFG)
+    img = sg.synthesis(params, w, None, CFG, output_size=16)
+    assert img.shape == (1, 16, 16, 3)
+
+
+def test_wrapper_api_and_render(rng):
+    G = StyleGAN2(config=CFG, output_size=(32, 32))
+    w = G.get_w_latents("0,1")
+    assert w.shape == (2, 10, 512)
+    frames = list(G.render({"latents": jnp.repeat(w[:1], 4, 0)}, batch_size=2))
+    assert len(frames) == 4 and frames[0].shape == (32, 32, 3)
+    assert frames[0].min() >= 0 and frames[0].max() <= 1
+
+
+def test_synthesizer_noise_kwargs(rng):
+    syn = StyleGAN2Synthesizer(config=CFG, output_size=(64, 64))
+    mapper = StyleGAN2Mapper(config=CFG)
+    syn.params = mapper.params
+    lat = mapper(jnp.asarray(rng.randn(2, 512).astype(np.float32)))
+    noises = {f"noise{i}": rng.randn(2, 1, h, w).astype(np.float32)
+              for i, (h, w) in enumerate(CFG.noise_shapes())}
+    img = syn(lat, **noises)
+    assert img.shape == (2, 64, 64, 3)
+
+
+def test_noise_pyramid_shapes():
+    pyr = make_noise_pyramid(np.random.randn(4, 1, 64, 64).astype(np.float32), config=CFG)
+    assert [p.shape[-1] for p in pyr] == [4, 8, 8, 16, 16, 32, 32, 64, 64]
+
+
+def test_video_writer_roundtrip(rng):
+    frames = rng.rand(5, 16, 16, 3).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out.mp4")
+        with VideoWriter(path, (16, 16), fps=8) as v:
+            for f in frames:
+                v.write(f)
+        assert os.path.getsize(path) > 0
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+
+
+def test_npz_save_load_roundtrip(rng):
+    from ssar_tpu.gan.convert import load_npz, save_npz
+
+    params = sg.init_generator(jax.random.PRNGKey(0), CFG)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "g.npz")
+        save_npz(path, params)
+        p2 = load_npz(path)
+    z = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(sg.generate(params, z, CFG)),
+                               np.asarray(sg.generate(p2, z, CFG)), rtol=1e-5, atol=1e-6)
