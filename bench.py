@@ -1,0 +1,72 @@
+"""Benchmark: 1024px StyleGAN2 audio-reactive render throughput (frames/sec/chip).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 30 fps/chip at 1024px on v5e (BASELINE.md).  Also measures the
+59-dim audio-feature extraction realtime factor (reported on stderr for
+context; target >= 100x).
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_render(resolution=1024, batch_size=4, iters=8):
+    from ssar_tpu.gan import stylegan2 as sg
+
+    cfg = sg.StyleGAN2Config(resolution=resolution)
+    params = sg.init_generator(jax.random.PRNGKey(0), cfg)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (batch_size, cfg.n_latent, 512))
+    noises = [jax.random.normal(jax.random.PRNGKey(i), (batch_size, h, w, 1))
+              for i, (h, w) in enumerate(cfg.noise_shapes())]
+
+    fwd = jax.jit(lambda p, l, n: sg.synthesis(p, l, n, cfg, dtype=jnp.bfloat16))
+    out = fwd(params, latents, noises)
+    out.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(params, latents, noises)
+    out.block_until_ready()
+    dt = (time.time() - t0) / iters
+    return batch_size / dt
+
+
+def bench_features(seconds=8, fps=24, iters=3):
+    from ssar_tpu.audio.features import audio2features
+
+    sr = 1024 * fps
+    t = np.arange(sr * seconds) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 440 * t)
+             + 0.1 * np.random.RandomState(0).randn(len(t))).astype(np.float32)
+    aj = jnp.asarray(audio)
+    F = audio2features(aj, sr, fps)
+    F.block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        F = audio2features(aj, sr, fps)
+    F.block_until_ready()
+    return seconds / ((time.time() - t0) / iters)
+
+
+def main():
+    render_fps = bench_render()
+    try:
+        rtf = bench_features()
+        print(f"audio feature extraction: {rtf:.0f}x realtime", file=sys.stderr)
+    except Exception as e:
+        print(f"feature bench failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "stylegan2_1024px_render_fps_per_chip",
+        "value": round(render_fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(render_fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

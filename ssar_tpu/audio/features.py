@@ -138,6 +138,8 @@ def spectral_contrast(y: jax.Array, sr: int, n_fft: int = 2048, hop_length: int 
     for k in range(n_bands + 1):
         f_low, f_high = octa[k], octa[k + 1]
         current_band = (freq >= f_low) & (freq <= f_high)
+        if not current_band.any():  # band above nyquist (low fps/sr): use top bin
+            current_band[-1] = True
         idx = np.flatnonzero(current_band)
         if k > 0:
             current_band[idx[0] - 1] = True

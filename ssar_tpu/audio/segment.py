@@ -1,0 +1,183 @@
+"""Differentiable Laplacian music-structure segmentation.
+
+Equivalent of ssar/features/rosa/segment.py (itself a differentiable
+re-derivation of the librosa segmentation example): beat-synchronous
+envelope -> k-NN recurrence matrix with gaussian affinity -> time-lag
+median filter -> balanced combination with the path (sequence) graph ->
+normalised-Laplacian eigenvectors -> differentiable soft k-means for
+k in {2,4,6,8,12,16}.
+
+TPU notes: beats arrive from the host tracker (dynamic python list — this
+runs at patch-preparation time, one eigh per feature, matrices are
+(n_beats, n_beats) ~ tens of rows); the graph Laplacian is built densely
+(no torch_geometric needed).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.median import median_filter
+
+
+def distance_matrix(x: jax.Array, p: float = 2.0) -> jax.Array:
+    d = jnp.sum(jnp.abs(x[:, None, :] - x[None, :, :]) ** p, axis=2) + 1e-8
+    return d ** (1.0 / p)
+
+
+def recurrence_matrix(data: jax.Array, k: int | None = None, width: int = 1,
+                      sym: bool = False, bandwidth: float | None = None) -> jax.Array:
+    """k-NN gaussian affinity recurrence matrix (segment.py:23-60)."""
+    t = data.shape[0]
+    data = data.reshape(t, -1)
+    if k is None:
+        k = 2 * int(np.ceil(np.sqrt(t - 2 * width + 1))) if t > 2 * width + 1 else 2
+    k = int(min(k, t - 1))
+
+    rec = distance_matrix(data)
+    # exclude a diagonal band of +-(width-1)
+    idx = jnp.arange(t)
+    band = jnp.abs(idx[:, None] - idx[None, :]) < width
+    rec = jnp.where(band, 0.0, rec)
+    rec = rec + (rec == 0) * 1e20
+
+    # keep only the k smallest links per column
+    neg_topk_vals, topk_idx = jax.lax.top_k(-rec.T, k)  # over axis 0 of rec
+    keep = jnp.zeros_like(rec).T.at[jnp.arange(t)[:, None], topk_idx].set(-neg_topk_vals).T
+    rec = keep
+
+    if sym:
+        rec = jnp.minimum(rec, rec.T)
+
+    if bandwidth is None:
+        bandwidth = jnp.median(jnp.max(rec, axis=1))
+
+    rec = rec * (rec >= 0)
+    rec = jnp.exp(rec / (-1.0 * bandwidth))
+    rec = rec * (rec < 1)  # zero out the 1e20 placeholders and self-links
+    return rec
+
+
+def shear(X: jax.Array, factor: int) -> jax.Array:
+    cols = [jnp.roll(X[:, i], factor * i) for i in range(X.shape[1])]
+    return jnp.stack(cols, axis=1)
+
+
+def timelag_median_filter(rec: jax.Array) -> jax.Array:
+    """Median filter along diagonals via shear -> horizontal filter -> unshear
+    (segment.py:77-84)."""
+    t = rec.shape[0]
+    rec_p = jnp.pad(rec, ((0, t), (0, 0)))
+    lag = shear(rec_p, -1)
+    lag = median_filter(lag, 7, axis=1, mode="reflect")
+    rec_f = shear(lag, 1)[:t]
+    return rec_f
+
+
+def _kmeans_pp_init(data: np.ndarray, k: int) -> np.ndarray:
+    """k-means++ with the reference's fixed seeds (segment.py:87-105)."""
+    centroids = [data[0]]
+    for idx in range(1, k):
+        dist_sq = np.array([min(float(np.inner(c - x, c - x)) for c in centroids) for x in data])
+        probs = dist_sq / (dist_sq.sum() + 1e-8)
+        r = np.random.RandomState(42 + idx).rand()
+        cum = probs.cumsum()
+        i = int(np.searchsorted(cum, r))
+        i = min(i, len(data) - 1)
+        centroids.append(data[i])
+    return np.array(centroids)
+
+
+def differentiable_k_means(data: jax.Array, k: int, num_iter: int = 100, cluster_temp: float = 5.0):
+    """Soft k-means on the unit sphere (segment.py:108-130)."""
+    data = data / (jnp.linalg.norm(data, axis=1, keepdims=True) + 1e-12)
+    mu0 = jnp.asarray(_kmeans_pp_init(np.asarray(jax.lax.stop_gradient(data)), k))
+
+    def body(mu, _):
+        dist = data @ mu.T
+        r = jax.nn.softmax(cluster_temp * dist, axis=1)
+        cluster_r = jnp.sum(r, axis=0)
+        cluster_mean = r.T @ data
+        return cluster_mean / (cluster_r[:, None] + 1e-12), None
+
+    mu, _ = jax.lax.scan(body, mu0, None, length=num_iter)
+    dist = data @ mu.T
+    r = jax.nn.softmax(cluster_temp * dist, axis=1)
+    return mu, r, dist
+
+
+def laplacian_segmentation(envelope: jax.Array, beats, ks=(2, 4, 6, 8, 12, 16)):
+    """Soft one-hot segmentations per k (segment.py:133-190).
+
+    envelope (T, C); beats: host list of frame indices.  Returns a list of
+    (T, k) soft assignments.
+    """
+    T = envelope.shape[0]
+    beats = [int(b) for b in beats]
+    bounds = [0] + beats + [T]
+    Csync = jnp.stack([
+        jnp.median(envelope[b1:b2] if b2 > b1 else envelope[b1:b1 + 1], axis=0)
+        for b1, b2 in zip(bounds[:-1], bounds[1:])
+    ])
+
+    R = recurrence_matrix(Csync, width=3, sym=True)
+    Rf = timelag_median_filter(R)
+
+    path_distance = jnp.sum(jnp.diff(Csync, axis=0) ** 2, axis=1)
+    sigma = jnp.median(path_distance)
+    path_sim = jnp.exp(-path_distance / sigma)
+    R_path = jnp.diag(path_sim, k=1) + jnp.diag(path_sim, k=-1)
+
+    deg_path = jnp.sum(R_path, axis=1)
+    deg_rec = jnp.sum(Rf, axis=1)
+    mu = deg_path.dot(deg_path + deg_rec) / jnp.sum((deg_path + deg_rec) ** 2)
+
+    A = mu * Rf + (1 - mu) * R_path
+    # symmetric normalised laplacian, dense
+    deg = jnp.sum(A, axis=1)
+    dinv = 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-12))
+    L = jnp.eye(A.shape[0]) - dinv[:, None] * A * dinv[None, :]
+    _, evecs = jnp.linalg.eigh(L)
+
+    evecs = median_filter(evecs.T, 9, axis=1, mode="reflect").T
+    Cnorm = jnp.cumsum(evecs**2, axis=1) ** 0.5
+
+    n_sync = Csync.shape[0]
+    segmentations = []
+    for k in ks:
+        ke = min(k, n_sync)  # short clips: fewer beat-sync frames than segments
+        X = evecs[:, :ke] / (Cnorm[:, ke - 1 : ke] + 1e-12)
+        _, seg, _ = differentiable_k_means(X, ke)
+        if ke < k:  # pad assignment columns so downstream shapes stay (T, k)
+            seg = jnp.pad(seg, ((0, 0), (0, k - ke)))
+        # nearest-neighbour upsample back to frame rate
+        src = jnp.clip((jnp.arange(T) * n_sync) // T, 0, n_sync - 1)
+        segmentations.append(seg[src])
+    return segmentations
+
+
+def laplacian_segmentation_rosa(audio: np.ndarray, sr: float, out_size: int,
+                                ks=(2, 4, 6, 8, 16)) -> np.ndarray:
+    """CQT-based segmentation with hard labels — the reference's second
+    ("rosa") segmentation flavour (segment.py:200-252): same recurrence
+    pipeline but driven by the full constant-Q spectrogram rather than a
+    single feature envelope.  Returns (out_size, len(ks)) integer labels."""
+    import jax.numpy as jnp_
+
+    from .beat import onset_strength
+    from .beat_host import beat_track
+    from .constantq import cqt
+    from .convert import power_to_db
+
+    audio_j = jnp_.asarray(audio, jnp_.float32)
+    C = jnp_.abs(cqt(audio_j, sr=int(sr), hop_length=1024, bins_per_octave=36, n_bins=7 * 36))
+    C = power_to_db(C, ref_value=float(jnp_.max(C)))
+    env = np.asarray(onset_strength(audio_j, int(sr)))
+    _, beats = beat_track(env, sr=sr, hop_length=1024)
+    beats = [int(b) for b in beats if 0 < b < C.shape[1]]
+
+    segs = laplacian_segmentation(C.T, beats, ks=ks)
+    out = np.stack([np.asarray(jnp_.argmax(s, axis=1)) for s in segs], axis=1)
+    src = np.clip((np.arange(out_size) * out.shape[0]) // out_size, 0, out.shape[0] - 1)
+    return out[src]

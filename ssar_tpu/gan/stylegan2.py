@@ -177,9 +177,10 @@ def _modulated_conv(p: dict, x: jax.Array, w: jax.Array, *, up: bool = False,
     kernel = (weight * wscale).astype(dtype)
 
     if up:
-        # transposed conv stride 2 (torch semantics) + blur, as in the reference
+        # transposed conv stride 2 (torch semantics) + blur, as in the reference;
+        # transpose_kernel expects the kernel with (out, in) channel order
         out = jax.lax.conv_transpose(
-            xs, kernel, strides=(2, 2), padding="VALID",
+            xs, kernel.swapaxes(2, 3), strides=(2, 2), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
         )
         k = make_blur_kernel(blur_kernel) * 4.0

@@ -1,0 +1,253 @@
+"""Test-time optimization: HiPPO envelopes maximising audio-reactivity.
+
+Equivalent of ssar/optimize.py:244-420 — the third generation paradigm
+(SURVEY.md §2.7): a HiPPO-parameterized envelope timeseries drives a
+winner-takes-all FixedLatentNoiseDecoder; Adam + cosine LR maximises the
+RV2 correlation between every prediction (envelopes, latents, noise) and
+every audio feature, with per-prediction gradient normalisation.
+
+TPU design: the whole optimisation step (decode -> predictions -> RV2 sum
+-> grad -> Adam update) is ONE jitted program; features and decoder palette
+are closed-over constants.  Rendering evals reuse gan/render.py.
+"""
+from __future__ import annotations
+
+import argparse
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..audio import features as FT
+from ..models.hippo import HiPPOTimeseries
+from ..ops.gaussian import gaussian_filter
+from ..train.losses import normalize_gradients
+
+AFNS = [FT.chromagram, FT.tonnetz, FT.mfcc, FT.spectral_contrast, FT.rms, FT.drop_strength, FT.onsets]
+
+
+def autocorrelation(A: jax.Array) -> jax.Array:
+    """Standardised time-domain Gram matrix (ssar/optimize.py:145-149)."""
+    A = A - jnp.mean(A, axis=0)
+    A = A / (jnp.std(A, axis=0) + 1e-8)
+    A = A.reshape(A.shape[0], -1)
+    return A @ A.T
+
+
+def rv2(X: jax.Array, Y: jax.Array) -> jax.Array:
+    """RV2 on standardised autocorrelations (ssar/optimize.py:152-160)."""
+    XX = autocorrelation(X)
+    XX = XX - jnp.diag(jnp.diag(XX))
+    YY = autocorrelation(Y)
+    YY = YY - jnp.diag(jnp.diag(YY))
+    return jnp.trace(XX.T @ YY) / jnp.sqrt(jnp.trace(XX.T @ XX) * jnp.trace(YY.T @ YY) + 1e-12)
+
+
+def abscos(X: jax.Array, Y: jax.Array) -> jax.Array:
+    """Absolute cosine between autocorrelations (ssar/optimize.py:163-170)."""
+    XX = autocorrelation(X)
+    XX = XX / (jnp.linalg.norm(XX) + 1e-12)
+    YY = autocorrelation(Y)
+    YY = YY / (jnp.linalg.norm(YY) + 1e-12)
+    return jnp.abs(jnp.sum(XX * YY))
+
+
+def lap_loss_host(target: np.ndarray, prediction: np.ndarray) -> float:
+    """Segmentation-matching MSE after optimal label assignment.
+
+    The reference runs an auction LAP solver on-device
+    (ssar/optimize.py:172-241); label assignment is a tiny k x k problem, so
+    the TPU-native choice is scipy's Hungarian solver on host.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    cost = target.T @ prediction  # (k, k)
+    _, cols = linear_sum_assignment(-cost)
+    return float(np.mean((prediction[:, cols] - target) ** 2))
+
+
+class FixedLatentNoiseDecoderOpt:
+    """Winner-takes-all grouped decoder (ssar/optimize.py:103-142).
+
+    Envelopes (T, S*G*H + 2*n_noise): each latent split softmaxes over its
+    (G, H) group structure before mixing palette latents; noise (mu, sigma)
+    pairs scale time-smoothed randn at 4x4..2^(n_noise+1).
+    """
+
+    def __init__(self, latents: jax.Array, n_latent_split=1, n_latent_groups=1,
+                 n_latent_per_group=6, n_noise=6, rng: jax.Array | None = None):
+        self.S, self.G, self.H = n_latent_split, n_latent_groups, n_latent_per_group
+        assert latents.shape[0] == self.S * self.G * self.H
+        self.latents = latents
+        self.W = latents.shape[1] // self.S
+        self.n_noise = n_noise
+        self.rng = jax.random.PRNGKey(0) if rng is None else rng
+
+    def noise_bases(self, T: int):
+        bases = []
+        rng = self.rng
+        for i in range(self.n_noise):
+            rng, k = jax.random.split(rng)
+            size = 2 ** (i + 2)
+            n = jax.random.normal(k, (T, size, size))
+            bases.append(gaussian_filter(n, 2))
+        return bases
+
+    def __call__(self, x: jax.Array, noise_bases):
+        S, G, H, W = self.S, self.G, self.H, self.W
+        latents = []
+        for i in range(S):
+            env = x[:, i * (G * H) : (i + 1) * (G * H)].reshape(-1, G, H)
+            env = jax.nn.softmax(env, axis=2)
+            env = env / (jnp.sum(env, axis=(1, 2), keepdims=True) + 1e-8)
+            lat = jax.lax.stop_gradient(
+                self.latents[i * (G * H) : (i + 1) * (G * H), i * W : (i + 1) * W]
+            ).reshape(G, H, W, self.latents.shape[-1])
+            latents.append(jnp.einsum("TGH,GHWL->TWL", env, lat))
+        latents = jnp.concatenate(latents, axis=1)
+
+        noise_envs = x[:, S * G * H :]
+        noise = []
+        for i in range(self.n_noise):
+            mu = noise_envs[:, 2 * i][:, None, None]
+            sig = noise_envs[:, 2 * i + 1][:, None, None]
+            noise.append(mu + sig * noise_bases[i])
+        return latents, noise
+
+
+def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n_params: int = 512,
+             n_latent_split: int = 1, n_latent_groups: int = 1, n_latent_per_group: int = 6,
+             n_noise: int = 6, lr: float = 1e-3, log_steps: int = 16, eval_steps: int = 128,
+             lambda_rv2: float = 1.0, prediction_similarity_penalty: float = 0.0,
+             out_dir: str = "output/optimization", seed: int = 42,
+             audio: np.ndarray | None = None, sr: int | None = None,
+             model_file: str | None = None, render: bool = False,
+             gan_config=None, max_seconds: float = 40.0):
+    """Returns (envelopes (T, E), latents (T, n_ws, 512), noise list, losses)."""
+    from ..gan.wrapper import StyleGAN2Mapper
+
+    if audio is None:
+        from ..train.data import load_audio
+
+        audio, sr = load_audio(audio_file)
+    audio = np.asarray(audio)[: int(max_seconds * sr)]
+    target_sr = 1024 * fps
+    if sr != target_sr:
+        from ..ops.resample import resample
+
+        audio = np.asarray(resample(jnp.asarray(audio), int(sr), target_sr, lowpass_filter_width=6))
+        sr = target_sr
+    audio_j = jnp.asarray(audio, jnp.float32)
+
+    features = {fn.__name__: fn(audio_j, sr) for fn in AFNS}
+    n_frames = int(features["rms"].shape[0])
+
+    feature_weights = {}
+    for name, f in features.items():
+        ac = autocorrelation(f)
+        ac = ac - jnp.min(ac)
+        ac = ac / jnp.max(ac)
+        feature_weights[name] = float(1.0 / jnp.mean(ac))
+
+    n_envelopes = n_latent_split * n_latent_groups * n_latent_per_group + 2 * n_noise
+    hippo = HiPPOTimeseries(n_frames, n_envelopes, N=n_params)
+    init_f = jax.random.uniform(jax.random.PRNGKey(seed), (n_frames, n_envelopes))
+    params = hippo.init_params(init_f)
+
+    mapper = StyleGAN2Mapper(model_file=model_file, config=gan_config, seed=seed)
+    z = np.random.RandomState(42).randn(n_latent_split * n_latent_groups * n_latent_per_group, 512)
+    palette = mapper(z.astype(np.float32))
+    decoder = FixedLatentNoiseDecoderOpt(palette, n_latent_split, n_latent_groups,
+                                         n_latent_per_group, n_noise,
+                                         rng=jax.random.PRNGKey(seed))
+    noise_bases = decoder.noise_bases(n_frames)
+
+    schedule = optax.cosine_decay_schedule(lr, n_steps, alpha=0.01)
+    optimizer = optax.adam(schedule)
+    opt_state = optimizer.init(params)
+
+    feat_list = [(name, features[name], feature_weights[name]) for name in features]
+
+    def loss_fn(p):
+        envs = hippo.decode(p)
+        latents, noise = decoder(envs, noise_bases)
+        predictions = ([normalize_gradients(envs, 1.0)]
+                       + [normalize_gradients(latents, 10.0)]
+                       + [normalize_gradients(n, 0.25) for n in noise])
+        loss = 0.0
+        for pred in predictions:
+            for _, f, w in feat_list:
+                loss = loss + lambda_rv2 * w * (1.0 - rv2(pred, f))
+        if prediction_similarity_penalty:
+            for i in range(len(predictions)):
+                for j in range(i + 1, len(predictions)):
+                    loss = loss + prediction_similarity_penalty * abscos(predictions[i], predictions[j])
+        return loss
+
+    @jax.jit
+    def step(p, o):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    losses = []
+    out_base = Path(out_dir) / f"hippo_{Path(audio_file).stem if audio_file else 'synthetic'}_{seed}"
+    out_base.parent.mkdir(parents=True, exist_ok=True)
+    for it in range(n_steps):
+        params, opt_state, loss = step(params, opt_state)
+        if it % log_steps == 0:
+            losses.append(float(loss))
+            print(f"step {it}: loss {losses[-1]:.4f}")
+        if render and (it + 1) % eval_steps == 0:
+            envs = hippo.decode(params)
+            latents, noise = decoder(envs, noise_bases)
+            _render_eval(audio_file, latents, noise, f"{out_base}_{it + 1}.mp4", model_file,
+                         fps, gan_config)
+
+    envs = hippo.decode(params)
+    latents, noise = decoder(envs, noise_bases)
+    return envs, latents, noise, losses
+
+
+def _render_eval(audio_file, latents, noise, out_file, model_file, fps, gan_config):
+    from ..gan.render import render_latents_to_video
+    from ..gan.wrapper import StyleGAN2Synthesizer
+
+    syn = StyleGAN2Synthesizer(model_file=model_file, config=gan_config)
+    # duplicate the pyramid into per-layer noises (ssar/optimize.py:52: n0, n1, n1, n2, n2, ...)
+    noise_nchw = [np.asarray(n)[:, None] for n in noise]
+    dup = [noise_nchw[0]] + [n for nn in noise_nchw[1:] for n in (nn, nn)]
+    render_latents_to_video(syn, latents, dup[: syn.n_noises_used], out_file, fps=fps,
+                            audio_file=audio_file, progress=False)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--audio_file", type=str, default=None)
+    p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--n_steps", type=int, default=512)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--smoke", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.smoke:
+        sr = 1024 * 12
+        t = np.arange(sr * 4) / sr
+        audio = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        audio[:: sr // 2] += 1.0
+        envs, latents, noise, losses = optimize(audio=audio, sr=sr, fps=12, n_steps=32,
+                                                n_params=128, log_steps=8,
+                                                gan_config=__import__("ssar_tpu.gan.stylegan2",
+                                                                      fromlist=["StyleGAN2Config"]).StyleGAN2Config(resolution=64))
+        print("losses:", [f"{l:.3f}" for l in losses])
+        print("shapes:", envs.shape, latents.shape, [n.shape for n in noise])
+        assert losses[-1] < losses[0]
+        return
+    optimize(audio_file=args.audio_file, fps=args.fps, n_steps=args.n_steps, lr=args.lr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Train a LatentNoiseReactor — pjit data-parallel, three loss modes.
+
+Equivalent of ``python -m ssar.train`` (ssar/train.py:196-382), redesigned
+for TPU:
+
+- the train step is one jitted program over a (data,) device mesh; the batch
+  is sharded on its leading axis and XLA inserts the gradient psum over ICI,
+- losses: "supervised" (MSE on latents + noise pyramid), "selfsupervised"
+  (procrustes between predictions and input features), "ssabsdiff"
+  (procrustes on absdiff envelopes, the reference's Triton-kernel loss,
+  here the pallas/XLA absdiff with its custom VJP),
+- Orbax checkpointing with explicit pytrees (replaces joblib pickles +
+  code-snapshot archaeology, SURVEY.md §5.4),
+- TensorBoard scalars via tensorboardX when available, CSV fallback.
+
+Run ``python -m ssar_tpu.train.train --smoke`` for a tiny synthetic run.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.reactor import LatentNoiseReactor
+from ..ops.absdiff import absdiff_ref
+from ..parallel.mesh import get_mesh, replicate, shard_batch
+from .data import compute_stats, load_cached, prefetch, synthetic_dataset
+from .losses import audio_reactive_loss, supervised_loss
+
+
+def make_model(args, mean, std, palette):
+    return LatentNoiseReactor(
+        input_mean=jnp.asarray(mean), input_std=jnp.asarray(std),
+        latents=None if args.decoder == "learned" else jnp.asarray(palette),
+        residual=args.residual, num_layers=args.num_layers, backbone=args.backbone,
+        hidden_size=args.hidden_size, decoder=args.decoder,
+        n_latent_split=args.n_latent_split, n_noise=4, dropout=args.dropout,
+    )
+
+
+def batch_absdiff(x: jax.Array) -> jax.Array:
+    """vmap(absdiff) over the batch axis (ssar/train.py:33)."""
+    return jax.vmap(absdiff_ref)(x)
+
+
+def make_train_step(model, optimizer, loss_mode: str):
+    def loss_fn(params, batch, rngs):
+        inputs, latents, n4, n8, n16, n32 = batch
+        preds_lat, preds_noise = model.apply(params, inputs, deterministic=False, rngs=rngs)
+        if loss_mode == "supervised":
+            loss = supervised_loss(preds_lat, preds_noise, latents, [n4, n8, n16, n32])
+        elif loss_mode == "selfsupervised":
+            preds = [preds_lat] + list(preds_noise)
+            loss = jnp.mean(audio_reactive_loss(preds, [inputs]))
+        elif loss_mode == "ssabsdiff":
+            preds = [batch_absdiff(p)[..., None] for p in [preds_lat] + list(preds_noise)]
+            loss = jnp.mean(audio_reactive_loss(preds, [inputs]))
+        else:
+            raise ValueError(loss_mode)
+        return loss
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        nkey, dkey, key = jax.random.split(key, 3)
+        rngs = {"noise": nkey, "dropout": dkey}
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rngs)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, key
+
+    @jax.jit
+    def eval_step(params, batch, key):
+        inputs, latents, n4, n8, n16, n32 = batch
+        preds_lat, preds_noise = model.apply(params, inputs, rngs={"noise": key})
+        return supervised_loss(preds_lat, preds_noise, latents, [n4, n8, n16, n32])
+
+    return train_step, eval_step
+
+
+class MetricsWriter:
+    def __init__(self, log_dir: Path):
+        log_dir.mkdir(parents=True, exist_ok=True)
+        self.csv = open(log_dir / "metrics.csv", "a")
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(str(log_dir))
+        except ImportError:
+            self.tb = None
+
+    def scalar(self, tag: str, value: float, step: int):
+        self.csv.write(f"{step},{tag},{value}\n")
+        self.csv.flush()
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, step)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--decoder", type=str, default="learned", choices=["learned", "fixed"])
+    parser.add_argument("--backbone", type=str, default="gru",
+                        choices=["sashimi", "gru", "lstm", "transformer", "conv", "mlp"])
+    parser.add_argument("--n_latent_split", type=int, default=3, choices=[1, 2, 3, 6, 9, 18])
+    parser.add_argument("--hidden_size", type=int, default=16)
+    parser.add_argument("--num_layers", type=int, default=4)
+    parser.add_argument("--dropout", type=float, default=0.0)
+    parser.add_argument("--duration", type=int, default=8)
+    parser.add_argument("--fps", type=int, default=24)
+    parser.add_argument("--loss", type=str, default="supervised",
+                        choices=["supervised", "selfsupervised", "ssabsdiff"])
+    parser.add_argument("--residual", action="store_true")
+    parser.add_argument("--n_examples", type=int, default=128_000)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--eval_every", type=int, default=10_240)
+    parser.add_argument("--ckpt_every", type=int, default=10_240)
+    parser.add_argument("--cache_dir", type=str, default=None, help="preprocessed dataset dir")
+    parser.add_argument("--out_dir", type=str, default="runs")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--smoke", action="store_true", help="tiny synthetic run")
+    args = parser.parse_args(argv)
+
+    if args.smoke:
+        args.n_examples = 64 * 4
+        args.batch_size = 8
+        args.eval_every = args.ckpt_every = 128
+
+    n_frames = args.duration * args.fps
+    if args.cache_dir:
+        train_ds = load_cached(args.cache_dir, "train")
+        val_ds = load_cached(args.cache_dir, "val")
+        mean = np.load(Path(args.cache_dir) / "train_mean.npy")
+        std = np.load(Path(args.cache_dir) / "train_std.npy")
+    else:
+        train_ds = synthetic_dataset(n_windows=64, n_frames=n_frames)
+        val_ds = synthetic_dataset(n_windows=16, n_frames=n_frames, seed=7)
+        mean, std = compute_stats(train_ds.features)
+
+    # frozen W+ palette from the mapper on RandomState(42) z's (ssar/train.py:239-243)
+    from ..gan.wrapper import StyleGAN2Mapper
+
+    mapper = StyleGAN2Mapper(seed=0)
+    z = np.random.RandomState(42).randn(args.n_latent_split * args.hidden_size, 512).astype(np.float32)
+    palette = np.asarray(mapper(z))
+    del mapper
+
+    model = make_model(args, mean, std, palette)
+    key = jax.random.PRNGKey(args.seed)
+    example = jnp.zeros((args.batch_size, n_frames, 59), jnp.float32)
+    params = model.init({"params": key, "noise": key}, example)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+
+    optimizer = optax.adam(args.lr)
+    opt_state = optimizer.init(params)
+    train_step, eval_step = make_train_step(model, optimizer, args.loss)
+
+    mesh = get_mesh()
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    name = "_".join([args.backbone, args.loss, args.decoder,
+                     f"split{args.n_latent_split}", f"hid{args.hidden_size}",
+                     f"layers{args.num_layers}", f"lr{args.lr}"])
+    log_dir = Path(args.out_dir) / f"{name}_{int(time.time())}"
+    writer = MetricsWriter(log_dir)
+    (log_dir / "config.json").write_text(json.dumps(vars(args)))
+    print(f"model: {n_params/1e3:.1f}K params -> {log_dir}")
+
+    import orbax.checkpoint as ocp
+
+    ckpt_mgr = ocp.CheckpointManager(log_dir.resolve() / "ckpt")
+
+    batches = prefetch(train_ds.batches(args.batch_size, seed=args.seed))
+    losses = []
+    t0 = time.time()
+    val_loss = float("nan")
+    for it in range(0, args.n_examples, args.batch_size):
+        batch = tuple(shard_batch(jnp.asarray(b), mesh) for b in next(batches))
+        params, opt_state, loss, key = train_step(params, opt_state, batch, key)
+        losses.append(float(loss))
+        writer.scalar(f"Loss/{args.loss}", losses[-1], it)
+
+        if it % args.eval_every == 0:
+            vl, n = 0.0, 0
+            for vbatch in val_ds.batches(args.batch_size, shuffle=False):
+                vl += float(eval_step(params, tuple(jnp.asarray(b) for b in vbatch), key))
+                n += 1
+                if n * args.batch_size >= len(val_ds):
+                    break
+            val_loss = vl / max(n, 1)
+            writer.scalar("Loss/val", val_loss, it)
+            rate = (it + args.batch_size) / (time.time() - t0)
+            print(f"iter {it}  train {np.mean(losses):.4f}  val {val_loss:.4f}  {rate:.1f} ex/s")
+            losses = []
+
+        if it % args.ckpt_every == 0:
+            ckpt_mgr.save(it, args=ocp.args.StandardSave({"params": params, "step": it}))
+
+    ckpt_mgr.save(args.n_examples, args=ocp.args.StandardSave({"params": params, "step": args.n_examples}))
+    ckpt_mgr.wait_until_finished()
+    print(f"done: val_loss {val_loss:.4f}, checkpoints in {log_dir}/ckpt")
+    return log_dir, val_loss
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Metric + video-feature tests: discrimination power and oracle parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssar_tpu.metrics import correlation as C
+from ssar_tpu.video import features as VF
+
+
+@pytest.fixture
+def corr_pair(rng):
+    T = 80
+    base = rng.randn(T, 3)
+    x = np.hstack([base, rng.randn(T, 2) * 0.1]).astype(np.float32)
+    y = np.hstack([base @ rng.randn(3, 3), rng.randn(T, 1) * 0.1]).astype(np.float32)
+    r = rng.randn(T, 4).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y), jnp.asarray(r)
+
+
+def test_correlation_zoo_discriminates(corr_pair):
+    x, y, r = corr_pair
+    for name, fn in C.CORRELATION_FNS.items():
+        assert float(fn(x, y)) > float(fn(x, r)), name
+
+
+def test_rv2_bounded(corr_pair):
+    x, y, _ = corr_pair
+    assert -1.0 <= float(C.rv2(x, y)) <= 1.0
+    assert float(C.rv2(x, x)) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_xi_detects_nonlinear(rng):
+    a = jnp.asarray(rng.randn(200).astype(np.float32))
+    assert float(C.xi(a, a**2)) > 0.7  # nonlinear but deterministic
+    assert abs(float(C.xi(a, jnp.asarray(rng.randn(200).astype(np.float32))))) < 0.25
+
+
+def test_sgw_separates(rng):
+    x = jnp.asarray(rng.randn(60, 5).astype(np.float32))
+    assert float(C.sgw(x, x)) < float(C.sgw(x, jnp.asarray(5 * rng.randn(60, 5).astype(np.float32))))
+
+
+def test_foci(rng):
+    n = 150
+    x = rng.randn(n, 2).astype(np.float32)
+    y = (x[:, 0] ** 2 + 0.05 * rng.randn(n)).astype(np.float32)
+    dep = float(C.foci_codependence(jnp.asarray(y), jnp.asarray(x)))
+    indep = float(C.foci_codependence(jnp.asarray(rng.randn(n).astype(np.float32)), jnp.asarray(x)))
+    assert dep > indep + 0.2
+
+
+# ----------------------------------------------------------------- video --
+@pytest.fixture
+def video(rng):
+    T, H, W = 12, 32, 32
+    vid = np.zeros((T, 3, H, W), np.float32)
+    for t in range(T):
+        vid[t] = np.roll(np.linspace(0, 1, W, dtype=np.float32)[None, None, :], 3 * t, axis=-1)
+    vid += 0.02 * rng.rand(T, 3, H, W).astype(np.float32)
+    return jnp.asarray(np.clip(vid, 0, 1))
+
+
+def test_histograms_shapes_and_norm(video):
+    h = np.asarray(VF.rgb_hist(video))
+    assert h.shape == (12, 96)
+    assert np.allclose(h.max(1), 1.0)
+    assert np.asarray(VF.hsv_hist(video)).shape == (12, 96)
+
+
+def test_histc_matches_torch_semantics(rng):
+    import torch
+
+    x = rng.rand(500).astype(np.float32)
+    ours = np.asarray(VF._histc(jnp.asarray(x), 32))
+    ref = torch.histc(torch.from_numpy(x), bins=32).numpy()
+    np.testing.assert_allclose(ours, ref)
+
+
+def test_rgb_to_hsv_matches_colorsys(rng):
+    import colorsys
+
+    px = rng.rand(10, 3).astype(np.float32)
+    vid = jnp.asarray(px.T[None, :, :, None])  # (1, 3, 10, 1)
+    hsv = np.asarray(VF.rgb_to_hsv(vid))[0, :, :, 0]
+    for i in range(10):
+        h, s, v = colorsys.rgb_to_hsv(*px[i])
+        np.testing.assert_allclose(hsv[0, i], h * 2 * np.pi, atol=1e-4)
+        np.testing.assert_allclose(hsv[1, i], s, atol=1e-4)
+        np.testing.assert_allclose(hsv[2, i], v, atol=1e-5)
+
+
+def test_video_spectrogram_and_rms(video):
+    spec = VF.video_spectrogram(video)
+    assert spec.shape[0] == 12 and np.isfinite(np.asarray(spec)).all()
+    for fn in [VF.low_freq_rms, VF.mid_freq_rms, VF.high_freq_rms, VF.adaptive_freq_rms]:
+        assert fn(video).shape == (12, 1)
+
+
+def test_flow_recovers_translation(rng):
+    import scipy.ndimage as ndi
+
+    from ssar_tpu.video.flow import farneback_flow
+
+    base = ndi.gaussian_filter(rng.rand(64, 64), 3).astype(np.float32)
+    frames = [np.roll(np.roll(base, 2 * t, axis=1), t, axis=0) for t in range(4)]
+    flow = np.asarray(farneback_flow(jnp.asarray(np.stack(frames)), levels=3, iterations=5))
+    interior = flow[:, :, 16:-16, 16:-16]
+    np.testing.assert_allclose(interior[:, 0].mean(), 2.0, atol=0.1)
+    np.testing.assert_allclose(interior[:, 1].mean(), 1.0, atol=0.1)
+
+
+def test_directogram_and_onsets(video):
+    flow = VF.optical_flow(video)
+    dg = VF.directogram(flow)
+    assert dg.shape == (12, 8)
+    assert VF.video_flow_onsets(video).shape == (12, 1)
+    assert VF.video_spectral_onsets(video).shape == (12, 1)
+
+
+def test_reactivity_metrics_discriminate(rng):
+    """Reactive video (flashes on onsets) scores higher than static video."""
+    from ssar_tpu.metrics.rhythmic import rhythmic_reactivity
+
+    sr, fps = 24576, 24
+    T = 48
+    audio = 0.05 * rng.randn(sr * 2).astype(np.float32)
+    audio[:: sr // 4] += 1.5  # onsets every 6 frames
+    reactive = np.zeros((T, 3, 16, 16), np.float32)
+    reactive[::6] = 1.0  # flash on each onset
+    static = np.full((T, 3, 16, 16), 0.5, np.float32) + 0.01 * rng.rand(T, 3, 16, 16).astype(np.float32)
+    r_reactive = float(rhythmic_reactivity(jnp.asarray(audio), sr, jnp.asarray(reactive), fps))
+    r_static = float(rhythmic_reactivity(jnp.asarray(audio), sr, jnp.asarray(static), fps))
+    assert r_reactive > r_static
