@@ -1,0 +1,118 @@
+"""Image-quality / OOD metrics: FID, KID, precision-recall-density-coverage.
+
+Equivalent of ssar/ood.py:80-206 (which calls maua.GAN.metrics.compute with
+a SwAV extractor).  The metric math is implemented natively in jnp; the
+feature extractor is pluggable:
+
+- pass any callable `(N, H, W, 3) [0,1] -> (N, D)` (e.g. a flax CNN with
+  loaded weights),
+- `default_extractor()` returns a fixed random-projection + pooling
+  extractor — deterministic and distribution-sensitive, usable for
+  relative comparisons in this zero-egress image (no pretrained SwAV /
+  Inception weights available); swap in a real extractor for publishable
+  absolute numbers.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+
+def default_extractor(dim: int = 256, patch: int = 8, seed: int = 0):
+    """Deterministic random-feature extractor: overlapping patch projections
+    + average/max pooling statistics."""
+    key = jax.random.PRNGKey(seed)
+    W = jax.random.normal(key, (patch * patch * 3, dim)) / np.sqrt(patch * patch * 3)
+
+    @jax.jit
+    def extract(images):  # (N, H, W, 3) in [0, 1]
+        N, H, Wd, C = images.shape
+        ph, pw = H // patch, Wd // patch
+        x = images[:, : ph * patch, : pw * patch]
+        x = x.reshape(N, ph, patch, pw, patch, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(N, ph * pw, patch * patch * C)
+        feats = jnp.einsum("npd,df->npf", x - 0.5, W)
+        feats = jax.nn.gelu(feats)
+        return jnp.concatenate([feats.mean(1), feats.max(1)], axis=-1)
+
+    return extract
+
+
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    """FID between two feature sets (gaussian W2 distance)."""
+    mu1, mu2 = feats_a.mean(0), feats_b.mean(0)
+    s1 = np.cov(feats_a, rowvar=False)
+    s2 = np.cov(feats_b, rowvar=False)
+    covmean, _ = scipy.linalg.sqrtm(s1 @ s2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(np.sum((mu1 - mu2) ** 2) + np.trace(s1 + s2 - 2 * covmean))
+
+
+def kernel_distance(feats_a: np.ndarray, feats_b: np.ndarray, degree: int = 3,
+                    gamma: float | None = None, coef0: float = 1.0) -> float:
+    """KID: polynomial-kernel MMD^2 (unbiased)."""
+    d = feats_a.shape[1]
+    gamma = gamma if gamma is not None else 1.0 / d
+
+    def k(x, y):
+        return (gamma * x @ y.T + coef0) ** degree
+
+    m, n = len(feats_a), len(feats_b)
+    kxx = k(feats_a, feats_a)
+    kyy = k(feats_b, feats_b)
+    kxy = k(feats_a, feats_b)
+    term_x = (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+    term_y = (kyy.sum() - np.trace(kyy)) / (n * (n - 1))
+    return float(term_x + term_y - 2 * kxy.mean())
+
+
+def prdc(feats_real: np.ndarray, feats_fake: np.ndarray, k: int = 5) -> dict:
+    """Precision / recall / density / coverage (Naeem et al. 2020)."""
+
+    def pairwise(a, b):
+        return np.sqrt(np.maximum(
+            (a**2).sum(1)[:, None] + (b**2).sum(1)[None] - 2 * a @ b.T, 0))
+
+    d_rr = pairwise(feats_real, feats_real)
+    d_ff = pairwise(feats_fake, feats_fake)
+    d_rf = pairwise(feats_real, feats_fake)
+
+    r_radii = np.sort(d_rr, axis=1)[:, k]
+    f_radii = np.sort(d_ff, axis=1)[:, k]
+
+    precision = float((d_rf < r_radii[:, None]).any(axis=0).mean())
+    recall = float((d_rf < f_radii[None, :]).any(axis=1).mean())
+    density = float((d_rf < r_radii[:, None]).sum(axis=0).mean() / k)
+    coverage = float((d_rf.min(axis=1) < r_radii).mean())
+    return {"precision": precision, "recall": recall, "density": density, "coverage": coverage}
+
+
+def compute(real_images, fake_images, extractor=None,
+            metrics=("frechet", "kernel", "prdc")) -> dict:
+    """maua.GAN.metrics.compute-equivalent surface (ssar/ood.py:16,103-113).
+
+    Images: (N, H, W, 3) float [0, 1] (NHWC) or (N, 3, H, W).
+    """
+    def to_nhwc(x):
+        x = np.asarray(x)
+        if x.shape[1] == 3 and (x.ndim == 4 and x.shape[-1] != 3):
+            x = x.transpose(0, 2, 3, 1)
+        return jnp.asarray(x, jnp.float32)
+
+    extractor = extractor or default_extractor()
+    fr = np.asarray(extractor(to_nhwc(real_images)))
+    ff = np.asarray(extractor(to_nhwc(fake_images)))
+
+    out = {}
+    if "frechet" in metrics:
+        out["frechet"] = frechet_distance(fr, ff)
+    if "kernel" in metrics:
+        out["kernel"] = kernel_distance(fr, ff)
+    if "prdc" in metrics:
+        out.update(prdc(fr, ff))
+    return out
