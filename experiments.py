@@ -1,0 +1,85 @@
+"""Experiment grid runner (the reference's experiments.sh as structured config).
+
+The reference records its training configs of record in a commented shell
+script (/root/reference/experiments.sh:1-38: GRU backbones, 4-6 layers,
+hidden 3-32, bs 32, lr 1e-4, 128k-1M examples, 8 s @ 24 fps).  Here the grid
+is data, each run is launched through the structured trainer, and results
+land in one CSV.
+
+    python experiments.py --grid smoke     # tiny sanity grid
+    python experiments.py --grid paper     # the reference's configs of record
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import time
+from pathlib import Path
+
+GRIDS = {
+    # the reference's configs of record (experiments.sh)
+    "paper": {
+        "backbone": ["gru", "sashimi"],
+        "decoder": ["fixed", "learned"],
+        "loss": ["supervised", "selfsupervised", "ssabsdiff"],
+        "hidden_size": [8, 16, 32],
+        "num_layers": [4, 6],
+        "n_examples": [128_000],
+        "lr": [1e-4],
+        "batch_size": [32],
+    },
+    "smoke": {
+        "backbone": ["gru", "mlp"],
+        "decoder": ["learned"],
+        "loss": ["supervised"],
+        "hidden_size": [8],
+        "num_layers": [2],
+        "n_examples": [256],
+        "lr": [1e-3],
+        "batch_size": [8],
+    },
+}
+
+
+def run_grid(name: str, out_dir: str = "runs/experiments"):
+    from ssar_tpu.train.train import main as train_main
+
+    grid = GRIDS[name]
+    keys = list(grid)
+    results = []
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for values in itertools.product(*grid.values()):
+        cfg = dict(zip(keys, values))
+        run_id = "_".join(f"{k}-{v}" for k, v in cfg.items())
+        print(f"\n=== {run_id} ===")
+        t0 = time.time()
+        argv = []
+        for k, v in cfg.items():
+            argv += [f"--{k}", str(v)]
+        argv += ["--out_dir", str(out / run_id), "--eval_every", str(max(64, cfg["n_examples"] // 10)),
+                 "--ckpt_every", str(cfg["n_examples"])]
+        try:
+            log_dir, val_loss = train_main(argv)
+            results.append({**cfg, "val_loss": val_loss, "seconds": time.time() - t0,
+                            "log_dir": str(log_dir)})
+        except Exception as e:
+            results.append({**cfg, "error": str(e)[:200]})
+        (out / f"{name}_results.json").write_text(json.dumps(results, indent=2))
+
+    try:
+        import pandas as pd
+
+        pd.DataFrame(results).to_csv(out / f"{name}_results.csv")
+    except ImportError:
+        pass
+    return results
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--grid", default="smoke", choices=list(GRIDS))
+    p.add_argument("--out_dir", default="runs/experiments")
+    args = p.parse_args()
+    run_grid(args.grid, args.out_dir)

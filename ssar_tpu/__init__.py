@@ -29,3 +29,21 @@ the canonical audio feature vector has 59 dims; latents are W+ sequences
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent compilation cache: the axon remote-compile path costs minutes
+# per program signature; caching compiled executables across processes makes
+# every CLI / bench invocation after the first fast.  Opt out with
+# SSAR_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("SSAR_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     _os.path.expanduser("~/.cache/ssar_tpu_jax"))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

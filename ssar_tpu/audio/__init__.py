@@ -1,5 +1,7 @@
 """Differentiable librosa-equivalent DSP stack (pure jnp, static shapes)."""
-from .beat import fourier_tempogram, onset_strength, plp
+from .beat import fourier_tempogram, onset_strength, onset_strength_multi, plp
+from .beat_host import beat_track, estimate_tempo
+from .segment import laplacian_segmentation, laplacian_segmentation_rosa, recurrence_matrix
 from .constantq import cqt, vqt
 from .convert import hz_to_mel, mel_to_hz, power_to_db
 from .features import (

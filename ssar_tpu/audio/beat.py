@@ -40,6 +40,42 @@ def onset_strength(y: jax.Array, sr: int, hop_length: int = 1024, n_fft: int = 2
     return env
 
 
+@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft", "aggregate"))
+def onset_strength_multi(signals: jax.Array, sr: int, hop_length: int = 1024, n_fft: int = 2048,
+                         aggregate: str = "mean") -> jax.Array:
+    """Batched onset strength: (N, L) -> (N, T).
+
+    One batched framing + rFFT + mel matmul for all band-filtered signals —
+    the TPU-shaped form of the reference's four sequential onset_strength
+    calls (ssar/supervised/data.py:76-79); numerics identical per signal
+    (power_to_db's top_db max is taken per signal)."""
+    from .spectral import hann_window, mel_basis
+
+    N, L = signals.shape
+    pad = n_fft // 2
+    x = jnp.pad(signals, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (x.shape[1] - n_fft) // hop_length + 1
+    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    frames = x[:, idx] * jnp.asarray(hann_window(n_fft))
+    S = jnp.abs(jnp.fft.rfft(frames, axis=2)) ** 2  # (N, T+1, F)
+    S = S[:, :-1]  # drop trailing frame (spectral.py:59-62 semantics)
+    basis = jnp.asarray(mel_basis(sr, n_fft, fmax=11025.0))
+    M = jnp.einsum("mf,ntf->nmt", basis, S, precision=jax.lax.Precision.HIGHEST)
+
+    # per-signal power_to_db
+    log_spec = 10.0 * jnp.log10(jnp.maximum(1e-10, M))
+    log_spec = jnp.maximum(log_spec, jnp.max(log_spec, axis=(1, 2), keepdims=True) - 80.0)
+
+    diff = jnp.maximum(0.0, log_spec[:, :, 1:] - log_spec[:, :, :-1])
+    if aggregate == "mean":
+        env = jnp.mean(diff, axis=1)
+    else:
+        env = jnp.median(diff, axis=1)
+    pad_width = 1 + n_fft // (2 * hop_length)
+    env = jnp.pad(env, ((0, 0), (pad_width, 0)))[:, : log_spec.shape[2]]
+    return env
+
+
 def fourier_tempo_frequencies(sr: int, win_length: int = 1024, hop_length: int = 1024) -> jax.Array:
     rate = sr * 60 / float(hop_length)
     return jnp.linspace(0, float(rate) / 2, int(1 + win_length // 2))

@@ -91,18 +91,83 @@ def _num_two_factors(x: int) -> int:
 
 def cqt(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None = None,
         n_bins: int = 84, bins_per_octave: int = 12, tuning: float | None = 0.0,
-        filter_scale: float = 1.0) -> jax.Array:
+        filter_scale: float = 1.0, method: str = "direct") -> jax.Array:
     return vqt(y, sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins, gamma=0.0,
-               bins_per_octave=bins_per_octave, tuning=tuning, filter_scale=filter_scale)
+               bins_per_octave=bins_per_octave, tuning=tuning, filter_scale=filter_scale,
+               method=method)
+
+
+def _vqt_direct(y: jax.Array, sr: int, hop_length: int, fmin: float, n_bins: int,
+                bins_per_octave: int, filter_scale: float, gamma: float,
+                max_fft: int = 8192) -> jax.Array:
+    """TPU-preferred CQT formulation: instead of the reference's
+    octave-by-octave chain (constantq.py:76-99 — 7 sequential resamples +
+    7 STFTs), octaves are processed in *groups* whose shared FFT basis fits
+    `max_fft`; between groups the signal is decimated by 2^g with ONE
+    polyphase conv.  For a 7-octave bpo-36 CQT this is 2 STFTs + 2 matmuls
+    + 1 resample instead of 7+7+6, every op MXU/FFT-shaped, and no
+    accumulated multi-stage resampling error within a group."""
+    n_octaves = int(np.ceil(float(n_bins) / bins_per_octave))
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    top_base = float(np.min(freqs[-bins_per_octave:]))  # lowest freq of top octave
+
+    # how many octaves fit per group: longest filter of a g-octave group at
+    # the (local) rate is ~ Q * sr / (top_base / 2^(g-1))
+    alpha = 2.0 ** (1.0 / bins_per_octave) - 1.0
+    Q = float(filter_scale) / alpha
+    g = 1
+    while g < n_octaves:
+        longest = Q * sr / ((top_base * 2.0 ** -(g)) + gamma / alpha) if gamma else \
+            Q * sr / (top_base * 2.0 ** -(g))
+        if 2 ** int(np.ceil(np.log2(longest))) > max_fft:
+            break
+        g += 1
+
+    responses = []
+    my_y, my_sr, my_hop = y, float(sr), hop_length
+    bins_done = 0
+    shift = 0
+    while bins_done < n_bins:
+        n_grp = min(g, n_octaves - shift)
+        grp_bins = min(n_grp * bins_per_octave, n_bins - bins_done)
+        grp_fmin = top_base * 2.0 ** -(shift + n_grp - 1)
+        fft_basis, n_fft = _cqt_filter_fft(my_sr, grp_fmin, grp_bins, bins_per_octave,
+                                           filter_scale, gamma)
+        fft_basis = fft_basis * np.sqrt(2**shift)
+        D = stft(my_y, n_fft=n_fft, hop_length=my_hop, window=None, pad_mode="reflect")[:, :-1]
+        responses.append(jnp.matmul(complex_const(fft_basis), D, precision=HIGHEST))
+
+        bins_done += grp_bins
+        shift += n_grp
+        if bins_done < n_bins:
+            factor = 2**n_grp
+            my_y = resample(my_y, factor, 1, lowpass_filter_width=6) * np.sqrt(factor)
+            my_sr /= factor
+            my_hop //= factor
+
+    max_col = min(r.shape[-1] for r in responses)
+    rows = []
+    end = n_bins
+    for r in responses:  # top group first
+        n_r = r.shape[0]
+        rows.append(r[-min(end, n_r):, :max_col])
+        end -= n_r
+    V = jnp.concatenate(rows[::-1], axis=0)
+    lengths = constant_q_lengths(sr, fmin, n_bins, bins_per_octave, filter_scale, gamma)
+    return V / jnp.sqrt(jnp.asarray(lengths[:, None], dtype=V.real.dtype))
 
 
 def vqt(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None = None,
         n_bins: int = 84, gamma: float | None = None, bins_per_octave: int = 12,
-        tuning: float | None = 0.0, filter_scale: float = 1.0) -> jax.Array:
+        tuning: float | None = 0.0, filter_scale: float = 1.0,
+        method: str = "direct") -> jax.Array:
     """Complex VQT, shape (n_bins, T) with T = len(y) // hop_length.
 
     `tuning=None` estimates tuning from the signal (host round-trip through
     a 0.01-quantised grid; one extra jit specialisation per distinct value).
+    `method`: "direct" (one rFFT + one matmul, TPU-preferred) or
+    "recursive" (the reference's octave-halving chain; kept for parity
+    studies — the two agree to resampling error, see tests).
     """
     n_octaves = int(np.ceil(float(n_bins) / bins_per_octave))
     n_filters = min(bins_per_octave, n_bins)
@@ -120,6 +185,10 @@ def vqt(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None = None
     fmin = fmin * 2.0 ** (tuning / bins_per_octave)
     freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
     fmin_t = float(np.min(freqs[-bins_per_octave:]))
+
+    if method == "direct":
+        return _vqt_direct(y, sr, hop_length, float(fmin), n_bins, bins_per_octave,
+                           filter_scale, float(gamma))
 
     if _num_two_factors(hop_length) < n_octaves - 1:
         raise ValueError(f"hop_length must be a multiple of 2^{n_octaves - 1} for a {n_octaves}-octave CQT/VQT")

@@ -199,27 +199,40 @@ def _stage_chroma(audio_harm: jax.Array, sr: int, tuning: float):
 
 @partial(jax.jit, static_argnames=("sr",))
 def _stage_onsets(audio_perc: jax.Array, sr: int):
-    return (
-        onset_strength(audio_perc, sr),
-        onset_strength(low_pass(audio_perc, sr), sr),
-        onset_strength(mid_pass(audio_perc, sr), sr),
-        onset_strength(high_pass(audio_perc, sr), sr),
-        plp(audio_perc, sr),
-    )
+    """Four band onsets via one batched mel pipeline + PLP."""
+    from .beat import onset_strength_multi
+
+    hp = high_pass(audio_perc, sr)
+    # mid_pass == low_pass(high_pass(x)) (processing.py:145-146) — reuse hp
+    bands = jnp.stack([audio_perc, low_pass(audio_perc, sr), low_pass(hp, sr), hp])
+    envs = onset_strength_multi(bands, sr)
+    return envs[0], envs[1], envs[2], envs[3], plp(audio_perc, sr)
+
+
+def _rms_multi(signals: jax.Array, frame_length: int = 2048, hop_length: int = 1024) -> jax.Array:
+    """Batched framewise RMS: (N, L) -> (N, T)."""
+    p = frame_length // 2
+    x = jnp.pad(signals, ((0, 0), (p, p)), mode="reflect")
+    n_frames = (x.shape[1] - frame_length) // hop_length + 1
+    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(frame_length)[None, :]
+    frames = x[:, idx][:, :-1]
+    return jnp.sqrt(jnp.mean(frames**2, axis=2))
 
 
 @partial(jax.jit, static_argnames=("sr",))
 def _stage_rms(audio_harm: jax.Array, audio: jax.Array, sr: int):
-    return (
-        rms(audio_harm, sr),
-        rms(low_pass(audio_harm, sr), sr),
-        rms(mid_pass(audio_harm, sr), sr),
-        rms(high_pass(audio_harm, sr), sr),
-        drop_strength(audio, sr),
-        drop_strength(low_pass(audio, sr), sr),
-        drop_strength(mid_pass(audio, sr), sr),
-        drop_strength(high_pass(audio, sr), sr),
-    )
+    """Eight band-RMS/drop-strength envelopes via one batched framing."""
+    bands = jnp.stack([
+        audio_harm, low_pass(audio_harm, sr), mid_pass(audio_harm, sr), high_pass(audio_harm, sr),
+        audio, low_pass(audio, sr), mid_pass(audio, sr), high_pass(audio, sr),
+    ])
+    envs = _rms_multi(bands)  # (8, T)
+    rms_envs = [envs[i][:, None] for i in range(4)]
+    drops = []
+    for i in range(4, 8):
+        e = emphasize(gaussian_filter(envs[i][:, None], 10), strength=10, percentile=50)
+        drops.append(e[:, None])
+    return (*rms_envs, *drops)
 
 
 @partial(jax.jit, static_argnames=("fps", "clamp", "smooth", "emphasis"))
@@ -255,7 +268,11 @@ def audio2features(audio: jax.Array, sr: int, fps: int, clamp: bool = True, smoo
     if tuning is None:
         from .pitch import estimate_tuning
 
-        tuning = estimate_tuning(audio_harm, sr, bins_per_octave=36)
+        # tuning is a single global scalar quantised to 0.01 bins — the first
+        # few seconds are statistically sufficient, and capping keeps the
+        # estimator O(1) in track length
+        cap = min(audio_harm.shape[0], 4 * sr)
+        tuning = estimate_tuning(audio_harm[:cap], sr, bins_per_octave=36)
 
     mf, contrast, flat = _stage_spectral(audio, sr)
     chroma, ton = _stage_chroma(audio_harm, sr, float(tuning))

@@ -1,3 +1,4 @@
+from .discriminator import Discriminator, PSPEncoder
 from .stylegan2 import StyleGAN2Config, generate, init_generator, mapping, synthesis, w_to_wplus
 from .video_io import VideoWriter, write_video
 from .wrapper import StyleGAN2, StyleGAN2Mapper, StyleGAN2Synthesizer, make_noise_pyramid

@@ -13,5 +13,10 @@ from .correlation import (
     svcca,
     xi,
 )
+from .analysis import COVARIANCE_DISTANCES, knn_kl_divergence, mutual_information, pca
+from .comparison import RandomGenerator, SelfSupervisedOptimization, SupervisedSequenceModel, compare_models
+from .context_fid import CausalCNNEncoder, context_fid, train_encoder
+from .ood import compute as compute_ood
+from .ood import frechet_distance, kernel_distance, prdc
 from .rhythmic import percentile_clip, rhythmic_reactivity
 from .sectional import evaluate_file, evaluate_reactivity

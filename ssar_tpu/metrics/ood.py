@@ -116,3 +116,32 @@ def compute(real_images, fake_images, extractor=None,
     if "prdc" in metrics:
         out.update(prdc(fr, ff))
     return out
+
+
+def video_vs_generator(video_frames, G, n_samples: int = 256, batch_size: int = 16,
+                       seed: int = 0, extractor=None, size: int = 128) -> dict:
+    """OOD of rendered video frames vs fresh generator samples — the
+    reference's evaluation driver (ssar/ood.py:80-206): sample n z's, render,
+    resize both sets, compute the metric battery."""
+    import jax
+    import jax.numpy as jnp
+
+    fakes = []
+    for i in range(0, n_samples, batch_size):
+        b = min(batch_size, n_samples - i)
+        z = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(seed), i), (b, 512))
+        lat = G.mapper(z)
+        img = jnp.clip((G.synthesizer(lat) + 1) / 2, 0, 1)
+        img = jax.image.resize(img, (b, size, size, 3), method="bilinear")
+        fakes.append(np.asarray(img))
+    fakes = np.concatenate(fakes)
+
+    reals = np.asarray(video_frames, np.float32)
+    if reals.shape[1] == 3 and reals.shape[-1] != 3:
+        reals = reals.transpose(0, 2, 3, 1)
+    if reals.shape[1] != size:
+        import jax.image
+
+        reals = np.asarray(jax.image.resize(jnp.asarray(reals),
+                                            (reals.shape[0], size, size, 3), method="bilinear"))
+    return compute(reals, fakes, extractor=extractor)

@@ -8,4 +8,14 @@ from .reactor import (
     LearnedLatentNoiseDecoder,
     Normalize,
 )
+from .audio2latent import Audio2Latent, Audio2Latent2, LayerwiseConv
+from .psagan import ProgressiveDiscriminator, ProgressiveGenerator
 from .s4 import S4Block, S4DLayer, s4d_conv, s4d_kernel, s4d_step
+from .sashimi import Sashimi
+from .selfsupervised import (
+    LSTMReactor,
+    PatchContrastor,
+    StyleVideoDiscriminator,
+    StyleVideoGenerator,
+    sample_patches_1d,
+)

@@ -1,0 +1,193 @@
+"""Extended component tests: v1 models, GAN families, trainers, OOD/FCD,
+analysis toolkit, discriminator/pSp, extractors, config system."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssar_tpu.train.data import synthetic_dataset
+
+B, T, F = 2, 24, 59
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(n_windows=8, n_frames=24)
+
+
+def test_audio2latent_v1_backbones(rng):
+    from ssar_tpu.models.audio2latent import Audio2Latent
+
+    x = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+    for backbone in ["gru", "conv"]:
+        m = Audio2Latent(jnp.zeros(F), jnp.ones(F), hidden_size=16,
+                         num_layers=2 if backbone == "gru" else 4, backbone=backbone)
+        p = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x)
+        assert m.apply(p, x).shape == (B, T, 18, 512)
+
+
+def test_audio2latent_v2(rng):
+    from ssar_tpu.models.audio2latent import Audio2Latent2
+
+    x = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+    m = Audio2Latent2(jnp.zeros(F), jnp.ones(F), hidden_size=16, num_layers=4)
+    p = m.init({"params": jax.random.PRNGKey(0)}, x)
+    assert m.apply(p, x).shape == (B, T, 18, 512)
+
+
+def test_psagan_shapes(rng):
+    from ssar_tpu.models.psagan import ProgressiveDiscriminator, ProgressiveGenerator
+
+    x = jnp.asarray(rng.randn(B, 32, F).astype(np.float32))
+    G = ProgressiveGenerator(out_dim=64, features=16, n_stages=2)
+    p = G.init({"params": jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(1))
+    out = G.apply(p, x, jax.random.PRNGKey(2))
+    assert out.shape == (B, 32, 64)
+    D = ProgressiveDiscriminator(features=16, n_stages=2)
+    pd = D.init({"params": jax.random.PRNGKey(0)}, out, x)
+    assert D.apply(pd, out, x).shape == (B,)
+
+
+def test_trainers_losses_finite_and_decreasing(ds):
+    from ssar_tpu.train.trainers import train_audio2latent, train_sslstm
+
+    _, _, m = train_audio2latent(ds, n_steps=8, batch_size=4, hidden_size=8, num_layers=1)
+    assert m["losses"][-1] < m["losses"][0]
+    _, _, m = train_sslstm(ds, n_steps=6, batch_size=4, hidden_size=8, num_layers=1)
+    assert np.isfinite(m["losses"]).all()
+
+
+def test_gan_trainers_run(ds, rng):
+    from ssar_tpu.train.trainers import train_psagan, train_stylevideogan
+
+    _, _, m = train_psagan(ds, n_steps=3, batch_size=4, features=8, n_stages=2)
+    assert np.isfinite(m["d_losses"]).all() and np.isfinite(m["g_losses"]).all()
+    seqs = rng.randn(4, 8, 4, 512).astype(np.float32) * 0.1
+    _, _, m = train_stylevideogan(seqs, n_steps=3, batch_size=2, latent_dim=8)
+    assert np.isfinite(m["d_losses"]).all()
+
+
+def test_ood_metrics_discriminate(rng):
+    from ssar_tpu.metrics.ood import compute
+
+    a = rng.rand(48, 16, 16, 3).astype(np.float32)
+    b = rng.rand(48, 16, 16, 3).astype(np.float32)
+    c = np.clip(b + 0.4, 0, 1)
+    same = compute(a, b)
+    diff = compute(a, c)
+    assert diff["frechet"] > same["frechet"]
+    assert diff["kernel"] > same["kernel"]
+    assert same["coverage"] > diff["coverage"]
+
+
+def test_fcd_orders_distributions(rng):
+    from ssar_tpu.metrics.context_fid import context_fid, train_encoder
+
+    real = np.cumsum(rng.randn(16, 32, 4), 1).astype(np.float32)
+    close = np.cumsum(rng.randn(16, 32, 4), 1).astype(np.float32)
+    far = rng.randn(16, 32, 4).astype(np.float32) * 5
+    enc = train_encoder(real, n_steps=15, features=16, embed_dim=32)
+    assert context_fid(enc, real, far) > context_fid(enc, real, close)
+
+
+def test_covariance_distances(rng):
+    from ssar_tpu.metrics.analysis import COVARIANCE_DISTANCES, covariance
+
+    A = covariance(jnp.asarray(rng.randn(80, 5).astype(np.float32)))
+    B_ = covariance(jnp.asarray((rng.randn(80, 5) * 2).astype(np.float32)))
+    for name, fn in COVARIANCE_DISTANCES.items():
+        assert float(fn(A, B_)) > float(fn(A, A)) + 1e-3, name
+
+
+def test_knn_kl_and_mi(rng):
+    from ssar_tpu.metrics.analysis import knn_kl_divergence, mutual_information
+
+    x = jnp.asarray(rng.randn(100, 3).astype(np.float32))
+    far = jnp.asarray((rng.randn(100, 3) + 3).astype(np.float32))
+    near = jnp.asarray(rng.randn(100, 3).astype(np.float32))
+    assert float(knn_kl_divergence(x, far)) > float(knn_kl_divergence(x, near)) + 1.0
+    a = jnp.asarray(rng.randn(300).astype(np.float32))
+    assert float(mutual_information(a, a * 2)) > float(mutual_information(a, jnp.asarray(rng.randn(300).astype(np.float32)))) + 0.3
+
+
+def test_discriminator_and_psp(rng):
+    from ssar_tpu.gan.discriminator import Discriminator, PSPEncoder
+
+    x = jnp.asarray(rng.rand(3, 32, 32, 3).astype(np.float32))
+    D = Discriminator(resolution=32)
+    p = D.init(jax.random.PRNGKey(0), x)
+    assert D.apply(p, x).shape == (3,)
+    E = PSPEncoder(n_styles=9, resolution=32)
+    pe = E.init(jax.random.PRNGKey(0), x)
+    assert E.apply(pe, x).shape == (3, 9, 512)
+
+
+def test_extractors(rng):
+    from ssar_tpu.models.extractors import SlowFastExtractor, VggishExtractor, synchro_saliency
+
+    audio = rng.randn(16000 * 2).astype(np.float32)
+    emb = VggishExtractor()(audio, 16000)
+    assert emb.shape[1] == 128
+    video = rng.rand(32, 3, 32, 32).astype(np.float32)
+    v = SlowFastExtractor()(video)
+    assert v.shape == (2, 256)
+    s = synchro_saliency(audio, 16000, video, 24)
+    assert np.isfinite(np.asarray(s)).all()
+
+
+def test_config_roundtrip(tmp_path):
+    from ssar_tpu.utils.config import Config
+
+    cfg = Config()
+    cfg.apply_overrides(["train.lr=3e-4", "model.backbone=sashimi", "gan.resolution=256"])
+    assert cfg.train.lr == 3e-4 and cfg.model.backbone == "sashimi"
+    path = tmp_path / "cfg.json"
+    cfg.save(str(path))
+    cfg2 = Config.load(str(path))
+    assert cfg2.train.lr == 3e-4 and cfg2.gan.resolution == 256
+    assert "sashimi" in cfg2.run_name()
+
+
+def test_cqt_direct_matches_recursive(rng):
+    from ssar_tpu.audio.constantq import cqt
+
+    sr = 24576
+    t = np.arange(sr * 2) / sr
+    au = jnp.asarray((0.5 * np.sin(2 * np.pi * 440 * t)
+                      + 0.05 * rng.randn(len(t))).astype(np.float32))
+    Cd = np.abs(np.asarray(cqt(au, sr, n_bins=252, bins_per_octave=36, method="direct")))
+    Cr = np.abs(np.asarray(cqt(au, sr, n_bins=252, bins_per_octave=36, method="recursive")))
+    assert np.corrcoef(Cd.flatten(), Cr.flatten())[0, 1] > 0.995
+
+
+def test_batched_onsets_match_single(rng):
+    from ssar_tpu.audio.beat import onset_strength, onset_strength_multi
+
+    sr = 24576
+    sig = rng.randn(2, sr).astype(np.float32)
+    multi = np.asarray(onset_strength_multi(jnp.asarray(sig), sr))
+    for i in range(2):
+        single = np.asarray(onset_strength(jnp.asarray(sig[i]), sr))
+        np.testing.assert_allclose(multi[i], single, rtol=1e-4, atol=1e-4)
+
+
+def test_sensitivity_analysis(rng):
+    from ssar_tpu.models.reactor import LatentNoiseReactor
+    from ssar_tpu.train.evaluate import feature_sensitivity
+
+    feats = jnp.asarray(rng.randn(16, F).astype(np.float32))
+    model = LatentNoiseReactor(jnp.zeros(F), jnp.ones(F), None, decoder="learned",
+                               backbone="mlp", hidden_size=8, num_layers=1)
+    params = model.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, feats[None])
+    out = feature_sensitivity(model, params, feats, perturbations=("zero", "scale2x"))
+    assert len(out) == F * 2
+    assert all(np.isfinite(v) for v in out.values())
+
+
+def test_visual_beats(rng):
+    from ssar_tpu.video.visual_beats import video_onsets
+
+    vid = np.zeros((24, 3, 16, 16), np.float32)
+    vid[::6] = 1.0
+    env = np.asarray(video_onsets(jnp.asarray(vid)))
+    assert env.shape == (24,) and np.isfinite(env).all()
