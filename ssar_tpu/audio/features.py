@@ -269,10 +269,14 @@ def audio2features(audio: jax.Array, sr: int, fps: int, clamp: bool = True, smoo
         from .pitch import estimate_tuning
 
         # tuning is a single global scalar quantised to 0.01 bins — the first
-        # few seconds are statistically sufficient, and capping keeps the
-        # estimator O(1) in track length
-        cap = min(audio_harm.shape[0], 4 * sr)
-        tuning = estimate_tuning(audio_harm[:cap], sr, bins_per_octave=36)
+        # few seconds are statistically sufficient.  The window is padded or
+        # cropped to EXACTLY 4 s so the estimator has one compile signature
+        # for every track length (remote compiles are expensive).
+        cap = 4 * sr
+        seg = audio_harm[:cap]
+        if seg.shape[0] < cap:
+            seg = jnp.pad(seg, (0, cap - seg.shape[0]))
+        tuning = estimate_tuning(seg, sr, bins_per_octave=36)
 
     mf, contrast, flat = _stage_spectral(audio, sr)
     chroma, ton = _stage_chroma(audio_harm, sr, float(tuning))

@@ -220,7 +220,7 @@ def chroma_cqt(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None
     if threshold is not None:
         chroma = jnp.where(chroma < threshold, 0.0, chroma)
     if norm:
-        chroma = chroma / jnp.max(chroma)
+        chroma = chroma / (jnp.max(chroma) + 1e-20)
     return chroma
 
 
@@ -230,7 +230,9 @@ def chroma_cens(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | Non
     """Chroma energy-normalised statistics (ssar/features/rosa/spectral.py:239-280). (12, T)."""
     chroma = chroma_cqt(y, sr, hop_length=hop_length, fmin=fmin, bins_per_octave=bins_per_octave,
                         tuning=tuning, n_chroma=n_chroma, n_octaves=n_octaves, norm=False)
-    chroma = chroma / jnp.linalg.norm(chroma, ord=1, axis=0)
+    # eps guard: silent frames (e.g. zero-padded chunk halos in SP mode)
+    # must stay finite rather than 0/0
+    chroma = chroma / (jnp.linalg.norm(chroma, ord=1, axis=0) + 1e-20)
     chroma_quant = spline_quantize(chroma)
 
     if win_len_smooth:
@@ -244,4 +246,4 @@ def chroma_cens(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | Non
         )[:, 0, :]
     else:
         cens = chroma_quant
-    return cens / jnp.linalg.norm(cens, ord=2, axis=0)
+    return cens / (jnp.linalg.norm(cens, ord=2, axis=0) + 1e-20)

@@ -89,7 +89,14 @@ class S4DLayer(nn.Module):
         L = u.shape[-2]
         # clamp A_re negative for stability
         A_re = -jnp.exp(jnp.log(-jnp.minimum(self.A_re, -1e-4)))
-        K = s4d_kernel(self.log_dt, A_re, self.A_im, self.C_re, self.C_im, L)
+        from ..ops.vandermonde import s4d_kernel_fused
+        from ..utils.platform import on_tpu
+
+        if on_tpu():
+            # pallas fused Vandermonde — no (H, N, L) materialisation
+            K = s4d_kernel_fused(self.log_dt, A_re, self.A_im, self.C_re, self.C_im, L)
+        else:
+            K = s4d_kernel(self.log_dt, A_re, self.A_im, self.C_re, self.C_im, L)
         return s4d_conv(u, K, self.D)
 
     def step(self, state, u_t):

@@ -98,8 +98,10 @@ def synthetic_dataset(n_windows: int = 64, n_frames: int = 192, n_ws: int = 18, 
     is learnable) plus noise."""
     rng = np.random.RandomState(seed)
     feats = rng.randn(n_windows, n_frames, 59).astype(np.float32)
-    # temporal smoothing for realism
-    k = np.exp(-0.5 * (np.arange(-8, 9) / 3.0) ** 2)
+    # temporal smoothing for realism (kernel shorter than the window so
+    # np.convolve 'same' keeps the frame count)
+    r = min(8, (n_frames - 1) // 2)
+    k = np.exp(-0.5 * (np.arange(-r, r + 1) / 3.0) ** 2)
     k /= k.sum()
     feats = np.apply_along_axis(lambda s: np.convolve(s, k, mode="same"), 1, feats)
     proj = rng.randn(59, n_ws * 8).astype(np.float32) / np.sqrt(59)
@@ -172,6 +174,45 @@ def preprocess_directory(in_dir: str, cache_dir: str, dur: int = 8, fps: int = 2
     np.save(cache_dir / "train_std.npy", std)
     (cache_dir / "meta.json").write_text(json.dumps(meta))
     return meta
+
+
+def grain_loader(cache_dir: str, split: str, batch_size: int, seed: int = 0,
+                 worker_count: int = 0, shuffle: bool = True):
+    """Grain-based host input pipeline over the preprocessed window cache —
+    the production feed BASELINE.json calls for in place of FFCV
+    (multi-host: each process reads its shard via grain's sharding options).
+
+    Yields tuples (features, latents, n4, n8, n16, n32) of stacked numpy
+    batches.  Requires `grain` (baked into the image); falls back to the
+    thread-prefetch iterator when unavailable.
+    """
+    try:
+        import grain.python as pygrain
+    except ImportError:
+        ds = load_cached(cache_dir, split)
+        yield from prefetch(ds.batches(batch_size, seed=seed, shuffle=shuffle))
+        return
+
+    ds = load_cached(cache_dir, split)
+
+    class WindowSource(pygrain.RandomAccessDataSource):
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, idx):
+            return (np.asarray(ds.features[idx]), np.asarray(ds.latents[idx]),
+                    *[np.asarray(n[idx]) for n in ds.noises])
+
+    sampler = pygrain.IndexSampler(
+        num_records=len(ds), shuffle=shuffle, seed=seed,
+        shard_options=pygrain.ShardByJaxProcess(),
+        num_epochs=None,
+    )
+    loader = pygrain.DataLoader(
+        data_source=WindowSource(), sampler=sampler, worker_count=worker_count,
+        operations=[pygrain.Batch(batch_size=batch_size, drop_remainder=True)],
+    )
+    yield from loader
 
 
 def load_cached(cache_dir: str, split: str) -> WindowDataset:

@@ -165,3 +165,24 @@ def test_resample_identity(rng):
     au = rng.randn(1000).astype(np.float32)
     out = ops.resample(jnp.asarray(au), 24576, 24576)
     np.testing.assert_allclose(np.asarray(out), au)
+
+
+def test_vandermonde_pallas_matches_ref(rng):
+    from ssar_tpu.ops.vandermonde import s4d_kernel_fused
+    from ssar_tpu.models.s4 import s4d_kernel
+
+    H, N, L = 12, 16, 100
+    log_dt = jnp.asarray(np.log(rng.uniform(1e-3, 1e-1, H)).astype(np.float32))
+    A_re = jnp.asarray((-0.5 * np.ones((H, N))).astype(np.float32))
+    A_im = jnp.asarray((np.pi * np.arange(N)[None].repeat(H, 0)).astype(np.float32))
+    C_re = jnp.asarray(rng.randn(H, N).astype(np.float32) * 0.3)
+    C_im = jnp.asarray(rng.randn(H, N).astype(np.float32) * 0.3)
+    K_complex = np.asarray(s4d_kernel(log_dt, A_re, A_im, C_re, C_im, L))
+    K_pallas = np.asarray(s4d_kernel_fused(log_dt, A_re, A_im, C_re, C_im, L, use_pallas=True))
+    np.testing.assert_allclose(K_pallas, K_complex, rtol=1e-4, atol=1e-5)
+    # gradients flow through the pallas path (custom VJP backed by the ref)
+    g = jax.grad(lambda c: float(0) + jnp.sum(
+        s4d_kernel_fused(log_dt, A_re, A_im, c, C_im, L, use_pallas=True) ** 2))(C_re)
+    gr = jax.grad(lambda c: jnp.sum(
+        s4d_kernel_fused(log_dt, A_re, A_im, c, C_im, L, use_pallas=False) ** 2))(C_re)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,112 @@
+"""Mesh-sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssar_tpu.parallel.mesh import data_sharding, get_mesh, make_mesh, replicate, shard_batch
+
+SR, FPS = 24576, 24
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_places_on_devices(rng):
+    mesh = get_mesh()
+    x = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.is_fully_replicated is False
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
+
+
+def test_replicate(rng):
+    tree = {"a": jnp.ones(3), "b": [jnp.zeros((2, 2))]}
+    rep = replicate(tree, get_mesh())
+    assert rep["a"].sharding.is_fully_replicated
+
+
+def test_sharded_training_step_matches_single_device(rng):
+    """The DP-sharded train step must produce the same loss as unsharded."""
+    import optax
+
+    from ssar_tpu.models.reactor import LatentNoiseReactor
+    from ssar_tpu.train.train import make_train_step
+
+    F, T, B = 59, 16, 8
+    model = LatentNoiseReactor(jnp.zeros(F), jnp.ones(F), None, decoder="learned",
+                               backbone="mlp", hidden_size=8, num_layers=1, residual=False)
+    x = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+    params = model.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
+    opt = optax.adam(1e-3)
+    step, _ = make_train_step(model, opt, "supervised")
+
+    batch_np = (rng.randn(B, T, F).astype(np.float32),
+                rng.randn(B, T, 18, 512).astype(np.float32),
+                *[rng.randn(B, T, s, s).astype(np.float32) for s in (4, 8, 16, 32)])
+    key = jax.random.PRNGKey(0)
+
+    batch_single = tuple(jnp.asarray(b) for b in batch_np)
+    _, _, loss_single, _ = step(params, opt.init(params), batch_single, key)
+
+    mesh = get_mesh()
+    batch_sharded = tuple(shard_batch(jnp.asarray(b), mesh) for b in batch_np)
+    p_rep = replicate(params, mesh)
+    _, _, loss_sharded, _ = step(p_rep, opt.init(p_rep), batch_sharded, key)
+
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=1e-4)
+
+
+def test_sharded_synthesis_matches(rng):
+    from ssar_tpu.gan import stylegan2 as sg
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    params = sg.init_generator(jax.random.PRNGKey(0), cfg)
+    z = jnp.asarray(rng.randn(8, 512).astype(np.float32))
+    img_single = sg.generate(params, z, cfg)
+
+    mesh = get_mesh()
+    img_sharded = sg.generate(replicate(params, mesh), shard_batch(z, mesh), cfg)
+    np.testing.assert_allclose(np.asarray(img_single), np.asarray(img_sharded), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_sequence_parallel_features_interior_match(rng):
+    """SP feature extraction: interior frames match the unsharded pipeline."""
+    from ssar_tpu.audio.features import audio2features
+    from ssar_tpu.parallel.features_sp import audio2features_sharded
+
+    L = SR * 4
+    t = np.arange(L) / SR
+    au = (0.4 * np.sin(2 * np.pi * 440 * t)
+          + 0.05 * rng.randn(L)).astype(np.float32)
+    au[:: SR // 2] += 1.0
+
+    full = np.asarray(audio2features(jnp.asarray(au), SR, FPS, clamp=False, smooth=False, tuning=0.0))
+    sp = np.asarray(audio2features_sharded(jnp.asarray(au), SR, FPS, mesh=get_mesh(2),
+                                           clamp=False, smooth=False, tuning=0.0))
+    assert sp.shape == full.shape
+    T = full.shape[0]
+    # interior region of the first chunk (away from both boundaries)
+    interior = slice(8, T // 2 - 50)
+    # compare per feature *block* (columns of one family share a scale;
+    # per-column denominators blow up on inactive chroma bins of a pure tone).
+    # pulse (50) and drop-strength (55-58) use whole-track normalisation
+    # context and are documented SP deviations.
+    blocks = {"mfcc": range(0, 20), "chroma": range(20, 32), "tonnetz": range(32, 38),
+              "contrast": range(38, 45), "flatness": range(45, 46), "onsets": range(46, 50),
+              "rms": range(51, 55)}
+    for name, cols in blocks.items():
+        cols = list(cols)
+        scale = np.abs(full[:, cols]).max() + 1e-6
+        err = np.abs(sp[interior][:, cols] - full[interior][:, cols]).mean()
+        assert err < 0.05 * scale, (name, err / scale)
+
+
+def test_multichip_dryrun_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
