@@ -35,7 +35,7 @@ def bench_render(resolution=1024, batch_size=4, iters=8):
     return batch_size / dt
 
 
-def bench_features(seconds=8, fps=24, iters=3):
+def bench_features(seconds=8, fps=24, iters=10):
     from ssar_tpu.audio.features import audio2features
 
     sr = 1024 * fps
@@ -54,18 +54,19 @@ def bench_features(seconds=8, fps=24, iters=3):
 
 def main():
     render_fps = bench_render()
-    try:
-        rtf = bench_features()
-        print(f"audio feature extraction: {rtf:.0f}x realtime", file=sys.stderr)
-    except Exception as e:
-        print(f"feature bench failed: {e}", file=sys.stderr)
-
+    # headline line first — the feature bench may pay a long remote compile
+    # on a cold cache and must not block the driver's metric capture
     print(json.dumps({
         "metric": "stylegan2_1024px_render_fps_per_chip",
         "value": round(render_fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(render_fps / 30.0, 3),
-    }))
+    }), flush=True)
+    try:
+        rtf = bench_features()
+        print(f"audio feature extraction: {rtf:.0f}x realtime", file=sys.stderr)
+    except Exception as e:
+        print(f"feature bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

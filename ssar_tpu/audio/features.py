@@ -198,6 +198,13 @@ def _stage_chroma(audio_harm: jax.Array, sr: int, tuning: float):
 
 
 @partial(jax.jit, static_argnames=("sr",))
+def _stage_chroma_dev(audio_harm: jax.Array, sr: int, tuning: jax.Array):
+    """Device-tuned variant: `tuning` is a traced scalar, no host sync."""
+    chroma = chromagram(audio_harm, sr, tuning=tuning)
+    return chroma, tonnetz(audio_harm, sr, chroma=chroma)
+
+
+@partial(jax.jit, static_argnames=("sr",))
 def _stage_onsets(audio_perc: jax.Array, sr: int):
     """Four band onsets via one batched mel pipeline + PLP."""
     from .beat import onset_strength_multi
@@ -265,21 +272,23 @@ def audio2features(audio: jax.Array, sr: int, fps: int, clamp: bool = True, smoo
         sr = target_sr
 
     audio_harm, audio_perc = _stage_hp(audio)
-    if tuning is None:
-        from .pitch import estimate_tuning
 
-        # tuning is a single global scalar quantised to 0.01 bins — the first
-        # few seconds are statistically sufficient.  The window is padded or
-        # cropped to EXACTLY 4 s so the estimator has one compile signature
-        # for every track length (remote compiles are expensive).
+    mf, contrast, flat = _stage_spectral(audio, sr)
+    if tuning is None:
+        from .pitch import estimate_tuning_device
+
+        # tuning stays a DEVICE scalar (histogram-quantised to 0.01 bins):
+        # a host round trip costs ~30 ms on the tunneled runtime.  The
+        # estimation window is padded/cropped to exactly 4 s so there is one
+        # compile signature per (sr) regardless of track length.
         cap = 4 * sr
         seg = audio_harm[:cap]
         if seg.shape[0] < cap:
             seg = jnp.pad(seg, (0, cap - seg.shape[0]))
-        tuning = estimate_tuning(seg, sr, bins_per_octave=36)
-
-    mf, contrast, flat = _stage_spectral(audio, sr)
-    chroma, ton = _stage_chroma(audio_harm, sr, float(tuning))
+        tuning_arr = estimate_tuning_device(seg, sr, bins_per_octave=36)
+        chroma, ton = _stage_chroma_dev(audio_harm, sr, tuning_arr)
+    else:
+        chroma, ton = _stage_chroma(audio_harm, sr, float(tuning))
     ons, ons_l, ons_m, ons_h, pls = _stage_onsets(audio_perc, sr)
     rms_envs = _stage_rms(audio_harm, audio, sr)
 

@@ -81,6 +81,16 @@ def _tuning_from_piptrack(pitches: jax.Array, mags: jax.Array, pmask: jax.Array,
     return tuning_grid[jnp.argmax(counts)]
 
 
+def estimate_tuning_device(y: jax.Array, sr: int, n_fft: int = 2048, resolution: float = 0.01,
+                           bins_per_octave: int = 12) -> jax.Array:
+    """Tuning deviation as a DEVICE scalar (already grid-quantised by the
+    histogram argmax) — no host sync; pair with the device-interpolated
+    chroma path (spectral.chroma_cqt_device_tuned)."""
+    pitches, mags, pmask = piptrack(y, sr, n_fft=n_fft)
+    return _tuning_from_piptrack(pitches, mags, pmask, resolution=resolution,
+                                 bins_per_octave=bins_per_octave)
+
+
 def estimate_tuning(y: jax.Array, sr: int, n_fft: int = 2048, resolution: float = 0.01,
                     bins_per_octave: int = 12) -> float:
     """Tuning deviation in fractional bins; returned as a *host float* already

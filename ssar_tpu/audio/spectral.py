@@ -224,12 +224,65 @@ def chroma_cqt(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None
     return chroma
 
 
+def chroma_cqt_device_tuned(y: jax.Array, sr: int, tuning: jax.Array, hop_length: int = 1024,
+                            fmin: float | None = None, n_chroma: int = 12, n_octaves: int = 7,
+                            bins_per_octave: int = 36, threshold: float | None = 0.0,
+                            norm: bool = True) -> jax.Array:
+    """chroma_cqt with the tuning correction applied ON DEVICE.
+
+    The reference bakes tuning into the CQT filter frequencies
+    (constantq.py:57, a host-side static choice, which would cost a ~30 ms
+    device->host round trip per track on this runtime).  Instead the CQT is
+    evaluated once on a half-bin-resolution grid (2x bins_per_octave) and
+    the tuned bin magnitudes are linearly interpolated on device from the
+    two neighbouring fine bins — `tuning` stays a traced scalar and the
+    whole feature stack runs without a host sync.
+    """
+    from .constantq import cqt  # local import to avoid a cycle
+
+    if fmin is None:
+        from .convert import C1_HZ
+
+        fmin = C1_HZ
+    n_bins = n_octaves * bins_per_octave
+    fine_bpo = 2 * bins_per_octave
+    n_fine = 2 * n_bins + 2  # one fine-bin guard on each side
+    fmin_fine = fmin * 2.0 ** (-1.0 / fine_bpo)
+
+    C_fine = jnp.abs(cqt(y, sr=sr, hop_length=hop_length, fmin=fmin_fine, n_bins=n_fine,
+                         bins_per_octave=fine_bpo, tuning=0.0))
+
+    # coarse bin k at tuning tau sits at fine index 2k + 1 + 2*tau
+    idx = 2.0 * jnp.arange(n_bins) + 1.0 + 2.0 * tuning
+    lo = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0, n_fine - 2)
+    frac = (idx - lo)[:, None]
+    C = C_fine[lo] * (1 - frac) + C_fine[lo + 1] * frac
+
+    fold = jnp.asarray(cq_to_chroma_matrix(n_bins, bins_per_octave=bins_per_octave,
+                                           n_chroma=n_chroma, fmin=fmin))
+    chroma = jnp.matmul(fold, C, precision=HIGHEST)
+    if threshold is not None:
+        chroma = jnp.where(chroma < threshold, 0.0, chroma)
+    if norm:
+        chroma = chroma / (jnp.max(chroma) + 1e-20)
+    return chroma
+
+
 def chroma_cens(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None = None,
-                tuning: float | None = None, n_chroma: int = 12, n_octaves: int = 7,
+                tuning=None, n_chroma: int = 12, n_octaves: int = 7,
                 bins_per_octave: int = 36, win_len_smooth: int = 41) -> jax.Array:
-    """Chroma energy-normalised statistics (ssar/features/rosa/spectral.py:239-280). (12, T)."""
-    chroma = chroma_cqt(y, sr, hop_length=hop_length, fmin=fmin, bins_per_octave=bins_per_octave,
-                        tuning=tuning, n_chroma=n_chroma, n_octaves=n_octaves, norm=False)
+    """Chroma energy-normalised statistics (ssar/features/rosa/spectral.py:239-280). (12, T).
+
+    `tuning` may be a host float (static basis, reference-exact) or a traced
+    jax scalar (device-interpolated fine-grid path, no host sync).
+    """
+    if isinstance(tuning, jax.Array) and getattr(tuning, "ndim", None) == 0:
+        chroma = chroma_cqt_device_tuned(y, sr, tuning, hop_length=hop_length, fmin=fmin,
+                                         n_chroma=n_chroma, n_octaves=n_octaves,
+                                         bins_per_octave=bins_per_octave, norm=False)
+    else:
+        chroma = chroma_cqt(y, sr, hop_length=hop_length, fmin=fmin, bins_per_octave=bins_per_octave,
+                            tuning=tuning, n_chroma=n_chroma, n_octaves=n_octaves, norm=False)
     # eps guard: silent frames (e.g. zero-padded chunk halos in SP mode)
     # must stay finite rather than 0/0
     chroma = chroma / (jnp.linalg.norm(chroma, ord=1, axis=0) + 1e-20)

@@ -19,9 +19,25 @@ import jax.numpy as jnp
 
 @partial(jax.jit, static_argnames=("k", "axis", "mode"))
 def median_filter(x: jax.Array, k: int, axis: int = -1, mode: str = "reflect") -> jax.Array:
-    """Sliding-window median of odd width `k` along `axis` with padding."""
+    """Sliding-window median of odd width `k` along `axis` with padding.
+
+    On TPU, 2-D reflect-padded inputs with k >= 7 dispatch to the pallas
+    sliding-median kernel (ops/median_pallas.py) — one HBM pass + a VPU
+    sorting network instead of materialising a (.., k) window tensor for
+    XLA's generic sort.  Exact same results.
+    """
     assert k % 2 == 1, "median_filter expects odd window size"
     axis = axis % x.ndim
+
+    from ..utils.platform import on_tpu
+
+    if on_tpu() and x.ndim == 2 and mode == "reflect" and k >= 7:
+        from .median_pallas import sliding_median_lastaxis
+
+        if axis == x.ndim - 1:
+            return sliding_median_lastaxis(x, k)
+        return sliding_median_lastaxis(x.T, k).T
+
     p = k // 2
     pad_width = [(0, 0)] * x.ndim
     pad_width[axis] = (p, p)

@@ -124,13 +124,20 @@ def main(argv=None):
     parser.add_argument("--cache_dir", type=str, default=None, help="preprocessed dataset dir")
     parser.add_argument("--out_dir", type=str, default="runs")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="run dir to resume from (restores params + step)")
     parser.add_argument("--smoke", action="store_true", help="tiny synthetic run")
     args = parser.parse_args(argv)
 
-    if args.smoke:
-        args.n_examples = 64 * 4
-        args.batch_size = 8
-        args.eval_every = args.ckpt_every = 128
+    if args.smoke:  # shrink only values the user didn't set explicitly
+        if args.n_examples == parser.get_default("n_examples"):
+            args.n_examples = 64 * 4
+        if args.batch_size == parser.get_default("batch_size"):
+            args.batch_size = 8
+        if args.eval_every == parser.get_default("eval_every"):
+            args.eval_every = 128
+        if args.ckpt_every == parser.get_default("ckpt_every"):
+            args.ckpt_every = 128
 
     n_frames = args.duration * args.fps
     if args.cache_dir:
@@ -177,11 +184,24 @@ def main(argv=None):
 
     ckpt_mgr = ocp.CheckpointManager(log_dir.resolve() / "ckpt")
 
+    start_it = 0
+    if args.resume:
+        # explicit-schema restore (replaces the reference's pickle +
+        # code-snapshot archaeology, SURVEY.md §5.4)
+        prev = ocp.CheckpointManager(Path(args.resume).resolve() / "ckpt")
+        step = prev.latest_step()
+        restored = prev.restore(step)
+        params = jax.tree.map(jnp.asarray, restored["params"])
+        params = replicate(params, mesh)
+        opt_state = optimizer.init(params)
+        start_it = int(restored.get("step", step))
+        print(f"resumed from {args.resume} at step {start_it}")
+
     batches = prefetch(train_ds.batches(args.batch_size, seed=args.seed))
     losses = []
     t0 = time.time()
     val_loss = float("nan")
-    for it in range(0, args.n_examples, args.batch_size):
+    for it in range(start_it, args.n_examples, args.batch_size):
         batch = tuple(shard_batch(jnp.asarray(b), mesh) for b in next(batches))
         params, opt_state, loss, key = train_step(params, opt_state, batch, key)
         losses.append(float(loss))

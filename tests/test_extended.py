@@ -191,3 +191,61 @@ def test_visual_beats(rng):
     vid[::6] = 1.0
     env = np.asarray(video_onsets(jnp.asarray(vid)))
     assert env.shape == (24,) and np.isfinite(env).all()
+
+
+def test_grain_loader(tmp_path, ds):
+    import numpy as np
+
+    from ssar_tpu.train.data import grain_loader
+
+    np.save(tmp_path / "train_features.npy", ds.features)
+    np.save(tmp_path / "train_latents.npy", ds.latents)
+    for j, s in enumerate((4, 8, 16, 32)):
+        np.save(tmp_path / f"train_noise{s}.npy", ds.noises[j])
+    batch = next(iter(grain_loader(str(tmp_path), "train", batch_size=4)))
+    assert batch[0].shape == (4, 24, 59)
+    assert batch[1].shape == (4, 24, 18, 512)
+
+
+def test_latent_augmenter(rng):
+    from ssar_tpu.gan.stylegan2 import StyleGAN2Config
+    from ssar_tpu.gan.wrapper import StyleGAN2Mapper
+    from ssar_tpu.train.latent_augmenter import LatentAugmenter
+
+    mapper = StyleGAN2Mapper(config=StyleGAN2Config(resolution=32))
+    aug = LatentAugmenter(mapper, n_patches=2, n_ws=64)
+    feats = jnp.asarray(rng.rand(2, 16, 59).astype(np.float32))
+    res, off = aug(feats, jax.random.PRNGKey(0))
+    assert res.shape[0] == 2 and res.shape[-1] == 512
+    assert np.isfinite(np.asarray(res)).all()
+    # deterministic under the same key
+    res2, _ = aug(feats, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(res), np.asarray(res2))
+
+
+def test_hpcp_and_tempogram_ratio(rng):
+    from ssar_tpu.audio.extra import hpcp, tempogram_ratio
+
+    sr = 24576
+    t = np.arange(sr * 2) / sr
+    au = jnp.asarray((0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+    h = np.asarray(hpcp(au, sr))
+    assert h.shape[1] == 12
+    assert np.bincount(h.argmax(1)).argmax() == 0  # 440 Hz == f_ref -> class 0
+
+    env = (0.05 * rng.randn(sr * 4)).astype(np.float32)
+    env[:: sr // 2] += 2.0  # 120 bpm
+    tr = np.asarray(tempogram_ratio(jnp.asarray(env), sr, 120.0))
+    assert tr[4] == tr.max()  # ratio 1.0 dominates
+
+
+def test_train_resume(tmp_path):
+    from ssar_tpu.train.train import main as train_main
+
+    d1, v1 = train_main(["--smoke", "--backbone", "mlp", "--num_layers", "1",
+                         "--n_examples", "64", "--eval_every", "32", "--ckpt_every", "64",
+                         "--out_dir", str(tmp_path)])
+    d2, v2 = train_main(["--smoke", "--backbone", "mlp", "--num_layers", "1",
+                         "--n_examples", "128", "--eval_every", "32", "--ckpt_every", "64",
+                         "--out_dir", str(tmp_path), "--resume", str(d1)])
+    assert np.isfinite(v2)
