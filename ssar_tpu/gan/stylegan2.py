@@ -216,7 +216,8 @@ def to_rgb(p: dict, x: jax.Array, w: jax.Array, skip: jax.Array | None = None,
 
 
 def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
-              config: StyleGAN2Config, *, dtype=jnp.float32, output_size: int | None = None) -> jax.Array:
+              config: StyleGAN2Config, *, dtype=jnp.float32, output_size: int | None = None,
+              return_features: bool = False):
     """W+ latents (B, n_latent, 512) [+ noises list of (B, H, W, 1)] -> images
     (B, R, R, 3) in [-1, 1] (unclamped).
 
@@ -228,23 +229,27 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
     if noises is None:
         noises = [None] * config.num_layers
 
+    feats = []
     x = jnp.broadcast_to(params["const"].astype(dtype), (B,) + params["const"].shape)
     x = styled_conv(params["conv1"], x, latents[:, 0], noises[0], dtype=dtype)
+    feats.append(x)
     skip = to_rgb(params["to_rgb1"], x, latents[:, 1], dtype=dtype)
 
     if output_size is not None and output_size == 4:
-        return skip.astype(jnp.float32)
+        return (skip.astype(jnp.float32), feats) if return_features else skip.astype(jnp.float32)
 
     i = 1
     for level, (conv_up, conv) in enumerate(zip(params["convs"][::2], params["convs"][1::2])):
         res = 2 ** (level + 3)
         x = styled_conv(conv_up, x, latents[:, i], noises[i], up=True, dtype=dtype)
         x = styled_conv(conv, x, latents[:, i + 1], noises[i + 1], dtype=dtype)
+        feats.append(x)
         skip = to_rgb(params["to_rgbs"][level], x, latents[:, i + 2], skip, dtype=dtype)
         i += 2
         if output_size is not None and res >= output_size:
             break
-    return skip.astype(jnp.float32)
+    out = skip.astype(jnp.float32)
+    return (out, feats) if return_features else out
 
 
 def generate(params: dict, z: jax.Array, config: StyleGAN2Config, *, truncation: float = 1.0,

@@ -129,12 +129,17 @@ def evaluate_clip(G, model, audio, sr) -> dict:
     return record
 
 
-def compare_models(name: str, models: dict, clips: list, G, out_dir: str = "output"):
+def compare_models(name: str, models: dict, clips: list, G, out_dir: str = "output",
+                   forward_only: bool = False):
     """models: {model_name: predictor}; clips: [(clip_name, audio, sr), ...].
 
     Incremental per-(clip, model) json resume; returns list of records and
-    writes a csv via pandas (comparison.py:553-555).
+    writes a csv via pandas (comparison.py:553-555).  `forward_only=True`
+    records only model-forward wall time per clip — the reference's
+    inference-speed benchmark mode (comparison.py:505-510).
     """
+    import time
+
     out = Path(out_dir) / name
     out.mkdir(parents=True, exist_ok=True)
     records = []
@@ -145,14 +150,23 @@ def compare_models(name: str, models: dict, clips: list, G, out_dir: str = "outp
                 records.append(json.loads(item.read_text()))
                 continue
             try:
-                rec = evaluate_clip(G, model, audio, sr)
+                if forward_only:
+                    t0 = time.time()
+                    latents, noise = model.predict(audio, sr)
+                    jax.block_until_ready(latents)
+                    rec = {"n": int(np.asarray(audio).shape[-1] // 1024),
+                           "time": time.time() - t0}
+                else:
+                    rec = evaluate_clip(G, model, audio, sr)
             except Exception as e:  # keep long sweeps alive (comparison.py:350-351)
                 print(f"ERROR {clip_name}/{model_name}: {e}")
                 continue
             rec.update({"clip": clip_name, "model_name": model_name})
             item.write_text(json.dumps(rec))
             records.append(rec)
-            print(f"{clip_name}/{model_name}: correlation {rec['correlation']:.4f}")
+            tag = (f"{rec['n'] / max(rec['time'], 1e-9):.1f} frames/s" if forward_only
+                   else f"correlation {rec['correlation']:.4f}")
+            print(f"{clip_name}/{model_name}: {tag}")
 
     try:
         import pandas as pd

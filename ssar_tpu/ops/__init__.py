@@ -19,4 +19,6 @@ from .quantile import (
     masked_quantile,
     quantile,
 )
+from .median_pallas import sliding_median_lastaxis
 from .resample import resample
+from .vandermonde import s4d_kernel_fused, s4d_vandermonde_pallas, s4d_vandermonde_ref

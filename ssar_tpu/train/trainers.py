@@ -178,9 +178,17 @@ def train_stylevideogan(wplus_sequences: np.ndarray, n_steps: int = 100, lr: flo
 # ------------------------------------------------------ contrastive LSTM --
 def train_sslstm(dataset, n_steps: int = 100, lr: float = 1e-4, batch_size: int = 4,
                  hidden_size: int = 16, num_layers: int = 2, n_patches: int = 8,
-                 patch_len: int = 8, seed: int = 0):
+                 patch_len: int = 8, seed: int = 0, gan_params=None, gan_config=None,
+                 video_patch_weight: float = 0.0):
     """Contrastive LSTM reactor: W+-sequence patches vs audio-feature patches
-    (train_sslstm.py:80-200) with the PatchNCE objective."""
+    (train_sslstm.py:80-200) with the PatchNCE objective.
+
+    With `video_patch_weight > 0` and a frozen generator (gan_params,
+    gan_config), intermediate synthesis activations of the predicted W+
+    frames are contrasted against the audio patches as well — the
+    reference's optional video-patch loss through the frozen G
+    (train_sslstm.py:156-176, torchextractor replaced by
+    synthesis(return_features=True))."""
     from ..models.selfsupervised import LSTMReactor, PatchContrastor, sample_patches_1d
 
     F = dataset.features.shape[-1]
@@ -197,8 +205,25 @@ def train_sslstm(dataset, n_steps: int = 100, lr: float = 1e-4, batch_size: int 
     cp = contrastor.init(jax.random.PRNGKey(seed + 1), pa0, pb0)
 
     params = {"model": mp, "contrastor": cp}
+    video_contrastor = None
+    if video_patch_weight > 0 and gan_params is not None:
+        from ..gan import stylegan2 as _sg
+
+        _gcfg = gan_config or _sg.StyleGAN2Config(resolution=64)
+        _, gfeats0 = _sg.synthesis(gan_params, w0[:, :2].reshape(-1, w0.shape[2], w0.shape[3]),
+                                   None, _gcfg, return_features=True, output_size=32)
+        pooled0 = jnp.concatenate([jnp.mean(f.astype(jnp.float32), axis=(1, 2)) for f in gfeats0], -1)
+        pooled0 = pooled0.reshape(batch_size, -1)
+        pv0 = jnp.repeat(pooled0, n_patches, axis=0)[: pb0.shape[0]]
+        video_contrastor = PatchContrastor()
+        params["video_contrastor"] = video_contrastor.init(jax.random.PRNGKey(seed + 2), pv0, pb0)
     opt = optax.adam(lr)
     state = opt.init(params)
+
+    if video_patch_weight > 0:
+        from ..gan import stylegan2 as sg
+
+        gcfg = gan_config or sg.StyleGAN2Config(resolution=64)
 
     @jax.jit
     def step(p, s, feats, key):
@@ -209,7 +234,20 @@ def train_sslstm(dataset, n_steps: int = 100, lr: float = 1e-4, batch_size: int 
             pa = sample_patches_1d(k1, w.reshape(feats.shape[0], w.shape[1], -1),
                                    n_patches, patch_len)
             pb = sample_patches_1d(k1, feats, n_patches, patch_len)
-            return contrastor.apply(pp["contrastor"], pa, pb)
+            loss = contrastor.apply(pp["contrastor"], pa, pb)
+            if video_contrastor is not None:
+                # render a couple of predicted frames through the frozen G;
+                # contrast pooled intermediate activations with audio patches
+                frame_idx = jax.random.randint(k2, (2,), 0, w.shape[1])
+                wf = w[:, frame_idx].reshape(-1, w.shape[2], w.shape[3])
+                _, gfeats = sg.synthesis(jax.lax.stop_gradient(gan_params), wf, None, gcfg,
+                                         return_features=True, output_size=32)
+                pooled = jnp.concatenate(
+                    [jnp.mean(f.astype(jnp.float32), axis=(1, 2)) for f in gfeats], axis=-1)
+                pooled = pooled.reshape(feats.shape[0], -1)
+                pv = jnp.repeat(pooled, n_patches, axis=0)[: pb.shape[0]]
+                loss = loss + video_patch_weight * video_contrastor.apply(pp["video_contrastor"], pv, pb)
+            return loss
 
         loss, g = jax.value_and_grad(loss_fn)(p)
         updates, s = opt.update(g, s, p)

@@ -249,3 +249,42 @@ def test_train_resume(tmp_path):
                          "--n_examples", "128", "--eval_every", "32", "--ckpt_every", "64",
                          "--out_dir", str(tmp_path), "--resume", str(d1)])
     assert np.isfinite(v2)
+
+
+def test_synthesis_return_features():
+    from ssar_tpu.gan import stylegan2 as sg
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    gp = sg.init_generator(jax.random.PRNGKey(0), cfg)
+    lat = jnp.zeros((2, cfg.n_latent, 512))
+    img, feats = sg.synthesis(gp, lat, None, cfg, return_features=True)
+    assert img.shape == (2, 32, 32, 3)
+    # one activation per resolution level: 4, 8, 16, 32
+    assert len(feats) == 4
+    assert [f.shape[1] for f in feats] == [4, 8, 16, 32]
+
+
+def test_sslstm_video_patch_loss(ds):
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.train.trainers import train_sslstm
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    gp = sg.init_generator(jax.random.PRNGKey(0), cfg)
+    _, _, m = train_sslstm(ds, n_steps=3, batch_size=2, hidden_size=8, num_layers=1,
+                           n_patches=4, patch_len=4, gan_params=gp, gan_config=cfg,
+                           video_patch_weight=0.1)
+    assert np.isfinite(m["losses"]).all()
+
+
+def test_compare_models_forward_only(tmp_path):
+    from ssar_tpu.metrics.comparison import compare_models
+
+    class Fake:
+        def predict(self, audio, sr):
+            n = audio.shape[-1] // 1024
+            return jnp.zeros((n, 18, 512)), None
+
+    clips = [("clip0", np.zeros(4096, np.float32), 1024)]
+    recs = compare_models("fwd", {"fake": Fake()}, clips, G=None,
+                          out_dir=str(tmp_path), forward_only=True)
+    assert len(recs) == 1 and recs[0]["n"] == 4 and "time" in recs[0]
