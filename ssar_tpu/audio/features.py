@@ -49,6 +49,11 @@ N_FEATURES = len(FEATURE_NAMES)  # 59
 
 
 # ------------------------------------------------------------ components --
+# Every public component is jitted: the axon TPU backend has no eager
+# kernels for complex ops (angle/abs/div on complex64), so anything that
+# touches an STFT must execute as a compiled XLA program.  Non-array
+# arguments are static, giving one specialisation per (length, sr) pair.
+@partial(jax.jit, static_argnames=("margin",))
 def harmonic(audio: jax.Array, margin: float = 8.0) -> jax.Array:
     """HPSS harmonic component back in the time domain (audio.py:13-17)."""
     S = stft(audio)
@@ -56,17 +61,20 @@ def harmonic(audio: jax.Array, margin: float = 8.0) -> jax.Array:
     return istft(H, length=audio.shape[0])
 
 
+@partial(jax.jit, static_argnames=("margin",))
 def percussive(audio: jax.Array, margin: float = 8.0) -> jax.Array:
     S = stft(audio)
     _, P = hpss(S, margin=margin)
     return istft(P, length=audio.shape[0])
 
 
+@partial(jax.jit, static_argnames=("sr",))
 def onsets(audio: jax.Array, sr: int) -> jax.Array:
     """Normalised onset envelope of the percussive component, (T, 1) (audio.py:27-28)."""
     return normalize(onset_strength(percussive(audio), sr))[:, None]
 
 
+@partial(jax.jit, static_argnames=("sr", "frame_length", "hop_length", "center", "pad_mode"))
 def rms(y: jax.Array, sr: int, frame_length: int = 2048, hop_length: int = 1024,
         center: bool = True, pad_mode: str = "reflect") -> jax.Array:
     """Framewise root-mean-square, (T, 1) (audio.py:31-37)."""
@@ -80,16 +88,28 @@ def rms(y: jax.Array, sr: int, frame_length: int = 2048, hop_length: int = 1024,
     return jnp.sqrt(power)[:, None]
 
 
+@partial(jax.jit, static_argnames=("sr",))
 def drop_strength(audio: jax.Array, sr: int) -> jax.Array:
     """Long-term RMS with tanh emphasis, (T, 1) (audio.py:40-41)."""
     return emphasize(gaussian_filter(rms(audio, sr), 10), strength=10, percentile=50)[:, None]
 
 
+@partial(jax.jit, static_argnames=("sr", "tuning"))
 def chromagram(audio: jax.Array, sr: int, tuning: float | None = None) -> jax.Array:
-    """CENS chroma of the (re-)harmonic-separated audio, (T, 12) (audio.py:44-45)."""
-    return chroma_cens(harmonic(audio), sr, tuning=tuning).T
+    """CENS chroma of the (re-)harmonic-separated audio, (T, 12) (audio.py:44-45).
+
+    With ``tuning=None`` the deviation is estimated on-device (traced scalar
+    -> interpolated CQT basis), avoiding any host sync inside the program.
+    """
+    h = harmonic(audio)
+    if tuning is None:
+        from .pitch import estimate_tuning_device
+
+        tuning = estimate_tuning_device(h, sr)
+    return chroma_cens(h, sr, tuning=tuning).T
 
 
+@partial(jax.jit, static_argnames=("sr", "tuning"))
 def tonnetz(y: jax.Array, sr: int, chroma: jax.Array | None = None, tuning: float | None = None) -> jax.Array:
     """Tonal centroid features, (T, 6) (audio.py:48-57)."""
     if chroma is None:
@@ -108,6 +128,7 @@ def tonnetz(y: jax.Array, sr: int, chroma: jax.Array | None = None, tuning: floa
     return ton.T
 
 
+@partial(jax.jit, static_argnames=("sr", "n_mfcc"))
 def mfcc(y: jax.Array, sr: int, n_mfcc: int = 20) -> jax.Array:
     """(T, 20) (audio.py:60-65)."""
     S = power_to_db(melspectrogram(y, sr))
@@ -115,11 +136,13 @@ def mfcc(y: jax.Array, sr: int, n_mfcc: int = 20) -> jax.Array:
     return M.T
 
 
+@partial(jax.jit, static_argnames=("sr",))
 def pulse(audio: jax.Array, sr: int) -> jax.Array:
     """(T, 1) predominant local pulse of the percussive component (audio.py:68-69)."""
     return plp(percussive(audio), sr)[:, None]
 
 
+@partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length", "fmin", "n_bands", "quantile", "linear"))
 def spectral_contrast(y: jax.Array, sr: int, n_fft: int = 2048, hop_length: int = 1024,
                       fmin: float = 200.0, n_bands: int = 6, quantile: float = 0.02,
                       linear: bool = False) -> jax.Array:
@@ -161,6 +184,7 @@ def spectral_contrast(y: jax.Array, sr: int, n_fft: int = 2048, hop_length: int 
     return (power_to_db(peak) - power_to_db(valley)).T
 
 
+@partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length", "amin", "power"))
 def spectral_flatness(y: jax.Array, sr: int, n_fft: int = 2048, hop_length: int = 1024,
                       amin: float = 1e-10, power: float = 2.0) -> jax.Array:
     """(T, 1) (audio.py:126-133)."""

@@ -54,7 +54,7 @@ def recurrence_matrix(data: jax.Array, k: int | None = None, width: int = 1,
         bandwidth = jnp.median(jnp.max(rec, axis=1))
 
     rec = rec * (rec >= 0)
-    rec = jnp.exp(rec / (-1.0 * bandwidth))
+    rec = jnp.exp(rec / (-1.0 * bandwidth - 1e-12))  # eps: all-equal rows
     rec = rec * (rec < 1)  # zero out the 1e20 placeholders and self-links
     return rec
 
@@ -89,10 +89,27 @@ def _kmeans_pp_init(data: np.ndarray, k: int) -> np.ndarray:
     return np.array(centroids)
 
 
+def _kmeans_pp_init_jax(data: jax.Array, k: int) -> jax.Array:
+    """Traceable k-means++ init — same algorithm and fixed RandomState(42+i)
+    draws as ``_kmeans_pp_init``, expressed in jnp so it works under jit/grad
+    (the random draws are host constants; only distances are traced)."""
+    n = data.shape[0]
+    centroids = jnp.zeros((k,) + data.shape[1:], data.dtype).at[0].set(data[0])
+    min_d = jnp.full((n,), jnp.inf, data.dtype)
+    for idx in range(1, k):
+        d = jnp.sum((data - centroids[idx - 1]) ** 2, axis=1)
+        min_d = jnp.minimum(min_d, d)
+        probs = min_d / (jnp.sum(min_d) + 1e-8)
+        r = np.random.RandomState(42 + idx).rand()
+        i = jnp.clip(jnp.searchsorted(jnp.cumsum(probs), r), 0, n - 1)
+        centroids = centroids.at[idx].set(data[i])
+    return centroids
+
+
 def differentiable_k_means(data: jax.Array, k: int, num_iter: int = 100, cluster_temp: float = 5.0):
     """Soft k-means on the unit sphere (segment.py:108-130)."""
     data = data / (jnp.linalg.norm(data, axis=1, keepdims=True) + 1e-12)
-    mu0 = jnp.asarray(_kmeans_pp_init(np.asarray(jax.lax.stop_gradient(data)), k))
+    mu0 = _kmeans_pp_init_jax(jax.lax.stop_gradient(data), k)
 
     def body(mu, _):
         dist = data @ mu.T
@@ -126,12 +143,12 @@ def laplacian_segmentation(envelope: jax.Array, beats, ks=(2, 4, 6, 8, 12, 16)):
 
     path_distance = jnp.sum(jnp.diff(Csync, axis=0) ** 2, axis=1)
     sigma = jnp.median(path_distance)
-    path_sim = jnp.exp(-path_distance / sigma)
+    path_sim = jnp.exp(-path_distance / (sigma + 1e-12))  # eps: constant envelopes
     R_path = jnp.diag(path_sim, k=1) + jnp.diag(path_sim, k=-1)
 
     deg_path = jnp.sum(R_path, axis=1)
     deg_rec = jnp.sum(Rf, axis=1)
-    mu = deg_path.dot(deg_path + deg_rec) / jnp.sum((deg_path + deg_rec) ** 2)
+    mu = deg_path.dot(deg_path + deg_rec) / (jnp.sum((deg_path + deg_rec) ** 2) + 1e-12)
 
     A = mu * Rf + (1 - mu) * R_path
     # symmetric normalised laplacian, dense

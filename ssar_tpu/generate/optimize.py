@@ -69,6 +69,38 @@ def lap_loss_host(target: np.ndarray, prediction: np.ndarray) -> float:
     return float(np.mean((prediction[:, cols] - target) ** 2))
 
 
+def sinkhorn_assignment(cost: jax.Array, n_iters: int = 30, temp: float = 0.05) -> jax.Array:
+    """Doubly-stochastic soft assignment maximising total cost (k, k).
+
+    On-device, fixed-iteration replacement for the reference's auction LAP
+    solver (ssar/optimize.py:172-220) — the same iterative-bidding idea, but
+    expressed as Sinkhorn normalisation so it jits to pure XLA ops.
+    """
+    logit = cost / temp
+
+    def body(l, _):
+        l = l - jax.nn.logsumexp(l, axis=1, keepdims=True)
+        l = l - jax.nn.logsumexp(l, axis=0, keepdims=True)
+        return l, None
+
+    logit, _ = jax.lax.scan(body, logit, None, length=n_iters)
+    return jnp.exp(logit)
+
+
+def lap_loss(target: jax.Array, prediction: jax.Array) -> jax.Array:
+    """Differentiable segmentation-matching loss (ssar/optimize.py:223-241).
+
+    target / prediction: (T, k) soft one-hot segmentations.  The label
+    permutation is solved with a (stop-gradient) Sinkhorn assignment, then
+    an MSE is taken between the permuted prediction and the target so
+    gradients flow through the segmentation values, matching the
+    reference's hard auction-LAP + MSE semantics.
+    """
+    cost = target.T @ prediction  # (k, k) overlap
+    P = jax.lax.stop_gradient(sinkhorn_assignment(cost))
+    return jnp.mean((prediction @ P.T - target) ** 2)
+
+
 class FixedLatentNoiseDecoderOpt:
     """Winner-takes-all grouped decoder (ssar/optimize.py:103-142).
 
@@ -125,8 +157,31 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
              out_dir: str = "output/optimization", seed: int = 42,
              audio: np.ndarray | None = None, sr: int | None = None,
              model_file: str | None = None, render: bool = False,
-             gan_config=None, max_seconds: float = 40.0):
-    """Returns (envelopes (T, E), latents (T, n_ws, 512), noise list, losses)."""
+             gan_config=None, max_seconds: float = 40.0,
+             palette: jax.Array | None = None, interp: jax.Array | None = None,
+             emphasize_feature: str | None = None,
+             feature_weight_boosts: dict | None = None,
+             use_audio_segmentation_features: bool = False,
+             lambda_lap: float = 0.0, ks=(2, 4, 6, 8, 12, 16)):
+    """Returns (envelopes (T, E), latents (T, n_ws, 512), noise list, losses).
+
+    Optional reference behaviours (ssar/optimize.py:244-346,
+    comparison.py:98-142):
+
+    - ``palette``: pre-mapped W+ palette for the decoder instead of mapping
+      RandomState(42) z's.
+    - ``interp``: residual base walk — final latents are re-centred around it
+      (latents - mean + interp, comparison.py:205-208).
+    - ``emphasize_feature``: multiply that feature's RV2 weight by 10.
+    - ``feature_weight_boosts``: extra per-feature weight multipliers (the
+      comparison harness uses onsets x3, rms x10, drop_strength x10,
+      rosa_segmentation x2, comparison.py:138-141).
+    - ``use_audio_segmentation_features``: add the hard rosa-flavour
+      laplacian segmentation as an extra feature with max weight.
+    - ``lambda_lap``: segmentation-matching loss between on-device laplacian
+      segmentations of each prediction and the audio features' segmentations
+      (Sinkhorn assignment replaces the auction LAP solver).
+    """
     from ..gan.wrapper import StyleGAN2Mapper
 
     if audio is None:
@@ -149,17 +204,36 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
     for name, f in features.items():
         ac = autocorrelation(f)
         ac = ac - jnp.min(ac)
-        ac = ac / jnp.max(ac)
-        feature_weights[name] = float(1.0 / jnp.mean(ac))
+        span = float(jnp.max(ac))
+        if span < 1e-6:  # constant feature (degenerate audio): carries no signal
+            feature_weights[name] = 0.0
+            continue
+        w = float(1.0 / (jnp.mean(ac / span) + 1e-8))
+        feature_weights[name] = w if np.isfinite(w) else 1.0
+
+    if use_audio_segmentation_features:
+        from ..audio.segment import laplacian_segmentation_rosa
+
+        labels = laplacian_segmentation_rosa(audio, sr, n_frames, ks=ks)
+        features["rosa_segmentation"] = jnp.asarray(labels, jnp.float32)
+        feature_weights["rosa_segmentation"] = max(feature_weights.values())
+    if emphasize_feature is not None:
+        feature_weights[emphasize_feature] *= 10.0
+    for name, boost in (feature_weight_boosts or {}).items():
+        if name in feature_weights:
+            feature_weights[name] *= boost
 
     n_envelopes = n_latent_split * n_latent_groups * n_latent_per_group + 2 * n_noise
     hippo = HiPPOTimeseries(n_frames, n_envelopes, N=n_params)
     init_f = jax.random.uniform(jax.random.PRNGKey(seed), (n_frames, n_envelopes))
     params = hippo.init_params(init_f)
 
-    mapper = StyleGAN2Mapper(model_file=model_file, config=gan_config, seed=seed)
-    z = np.random.RandomState(42).randn(n_latent_split * n_latent_groups * n_latent_per_group, 512)
-    palette = mapper(z.astype(np.float32))
+    if palette is None:
+        mapper = StyleGAN2Mapper(model_file=model_file, config=gan_config, seed=seed)
+        z = np.random.RandomState(42).randn(n_latent_split * n_latent_groups * n_latent_per_group, 512)
+        palette = mapper(z.astype(np.float32))
+    else:
+        palette = jnp.asarray(palette)[: n_latent_split * n_latent_groups * n_latent_per_group]
     decoder = FixedLatentNoiseDecoderOpt(palette, n_latent_split, n_latent_groups,
                                          n_latent_per_group, n_noise,
                                          rng=jax.random.PRNGKey(seed))
@@ -171,6 +245,25 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
 
     feat_list = [(name, features[name], feature_weights[name]) for name in features]
 
+    beats, feature_segmentations = None, None
+    if lambda_lap:
+        from ..audio.beat import onset_strength
+        from ..audio.beat_host import beat_track
+        from ..audio.segment import laplacian_segmentation
+
+        env = np.asarray(onset_strength(audio_j, sr))
+        _, beats = beat_track(env, sr=sr, hop_length=1024)
+        beats = [int(b) for b in beats if 0 < b < n_frames]
+        feature_segmentations = {}
+        for name, f in features.items():
+            if "segmentation" in name:  # hard labels -> per-k one-hots
+                feature_segmentations[name] = [
+                    jax.nn.one_hot(f[:, i].astype(jnp.int32), k)
+                    for i, k in enumerate(ks)]
+            else:
+                feature_segmentations[name] = laplacian_segmentation(
+                    f.reshape(n_frames, -1), beats, ks=ks)
+
     def loss_fn(p):
         envs = hippo.decode(p)
         latents, noise = decoder(envs, noise_bases)
@@ -181,6 +274,13 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
         for pred in predictions:
             for _, f, w in feat_list:
                 loss = loss + lambda_rv2 * w * (1.0 - rv2(pred, f))
+            if lambda_lap:
+                from ..audio.segment import laplacian_segmentation
+
+                pred_segs = laplacian_segmentation(pred.reshape(n_frames, -1), beats, ks=ks)
+                for name, _, _ in feat_list:
+                    for tgt, ps in zip(feature_segmentations[name], pred_segs):
+                        loss = loss + lambda_lap * lap_loss(tgt, ps) / len(ks)
         if prediction_similarity_penalty:
             for i in range(len(predictions)):
                 for j in range(i + 1, len(predictions)):
@@ -209,6 +309,11 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
 
     envs = hippo.decode(params)
     latents, noise = decoder(envs, noise_bases)
+    if interp is not None:  # re-centre around a provided base walk (comparison.py:205-208)
+        interp = jnp.asarray(interp)
+        if interp.ndim == 2:  # (T, 512) w walk -> broadcast over the W+ axis
+            interp = interp[:, None, :]
+        latents = latents - jnp.mean(latents, axis=0) + interp
     return envs, latents, noise, losses
 
 

@@ -58,10 +58,22 @@ def _median_kernel(k: int, f_blk: int, t_blk: int, x_hbm, out_ref):
     )
 
 
-@partial(jax.jit, static_argnames=("k", "f_blk", "t_blk"))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def sliding_median_lastaxis(x: jax.Array, k: int, f_blk: int = 256, t_blk: int = 256) -> jax.Array:
     """(F, T) -> (F, T) median over a k-wide window on the last axis,
-    reflect-padded (torch 'reflect' semantics).  Exact for odd k."""
+    reflect-padded (torch 'reflect' semantics).  Exact for odd k.
+
+    Differentiable: the VJP routes each output cotangent to the first
+    window element equal to the median (a valid subgradient, matching the
+    selection semantics of sort-based median gradients).  The (F, T, k)
+    window tensor is only materialised on the backward pass — the forward
+    stays a single-HBM-pass pallas kernel.
+    """
+    return _sliding_median_impl(x, k, f_blk, t_blk)
+
+
+@partial(jax.jit, static_argnames=("k", "f_blk", "t_blk"))
+def _sliding_median_impl(x: jax.Array, k: int, f_blk: int = 256, t_blk: int = 256) -> jax.Array:
     assert k % 2 == 1
     F, T = x.shape
     p = k // 2
@@ -88,3 +100,31 @@ def sliding_median_lastaxis(x: jax.Array, k: int, f_blk: int = 256, t_blk: int =
         interpret=pallas_interpret(),
     )(xp)
     return out[:F, :T]
+
+
+def _sliding_median_fwd(x, k, f_blk, t_blk):
+    out = _sliding_median_impl(x, k, f_blk, t_blk)
+    return out, (x, out)
+
+
+def _sliding_median_bwd(k, f_blk, t_blk, res, g):
+    x, out = res
+    T = x.shape[1]
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, p)), mode="reflect")
+    win = jnp.stack([xp[:, i : i + T] for i in range(k)], axis=-1)  # (F, T, k)
+    eq = win == out[..., None]
+    sel = eq & (jnp.cumsum(eq, axis=-1) == 1)  # first tap equal to the median
+    gwin = g[..., None] * sel.astype(g.dtype)
+
+    gxp = jnp.zeros_like(xp)
+    for i in range(k):
+        gxp = gxp.at[:, i : i + T].add(gwin[..., i])
+    gx = gxp[:, p : p + T]
+    if p:  # fold the reflect halo back: xp[:, p-1-j] == x[:, j+1], etc.
+        gx = gx.at[:, 1 : p + 1].add(gxp[:, :p][:, ::-1])
+        gx = gx.at[:, T - p - 1 : T - 1].add(gxp[:, p + T :][:, ::-1])
+    return (gx,)
+
+
+sliding_median_lastaxis.defvjp(_sliding_median_fwd, _sliding_median_bwd)

@@ -186,3 +186,35 @@ def test_vandermonde_pallas_matches_ref(rng):
     gr = jax.grad(lambda c: jnp.sum(
         s4d_kernel_fused(log_dt, A_re, A_im, c, C_im, L, use_pallas=False) ** 2))(C_re)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-4, atol=1e-5)
+
+
+def test_sliding_median_vjp_matches_sort_gradient(rng):
+    from ssar_tpu.ops.median_pallas import sliding_median_lastaxis
+
+    x = jnp.asarray(rng.randn(8, 40).astype(np.float32))
+    w = jnp.arange(40, dtype=jnp.float32)
+
+    def ref_median(x):
+        xp = jnp.pad(x, ((0, 0), (3, 3)), mode="reflect")
+        win = jnp.stack([xp[:, i : i + 40] for i in range(7)], axis=-1)
+        return jnp.median(win, axis=-1)
+
+    f = lambda x: jnp.sum(jnp.cos(sliding_median_lastaxis(x, 7)) * w)
+    g = lambda x: jnp.sum(jnp.cos(ref_median(x)) * w)
+    assert np.allclose(jax.grad(f)(x), jax.grad(g)(x), atol=1e-5)
+
+
+def test_sinkhorn_assignment_recovers_permutation(rng):
+    from ssar_tpu.generate.optimize import lap_loss, sinkhorn_assignment
+
+    perm = np.array([2, 0, 3, 1])
+    cost = jnp.asarray(np.eye(4)[perm] * 3.0)
+    P = sinkhorn_assignment(cost)
+    assert np.array_equal(np.asarray(P.argmax(1)), perm)
+
+    # permuted one-hot segmentations have ~zero loss after assignment
+    labels = rng.randint(0, 4, size=50)
+    tgt = jnp.asarray(np.eye(4, dtype=np.float32)[labels])
+    pred = tgt[:, perm]
+    assert float(lap_loss(tgt, pred)) < 1e-3
+    assert float(lap_loss(tgt, jnp.asarray(rng.rand(50, 4).astype(np.float32)))) > 1e-2
