@@ -38,10 +38,24 @@ import os as _os
 # SSAR_TPU_NO_COMPILE_CACHE=1.
 if not _os.environ.get("SSAR_TPU_NO_COMPILE_CACHE"):
     try:
+        import hashlib as _hashlib
+
         import jax as _jax
 
-        _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     _os.path.expanduser("~/.cache/ssar_tpu_jax"))
+        # Key the cache by host CPU features: XLA:CPU AOT executables are
+        # feature-specific, and loading one compiled on a different host
+        # can execute incorrectly (observed as NaNs) rather than fail.
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _fp = next(l for l in _f if l.startswith("flags"))
+        except Exception:
+            import platform as _platform
+
+            _fp = _platform.processor() or "unknown"
+        _tag = _hashlib.md5(_fp.encode()).hexdigest()[:10]
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser(f"~/.cache/ssar_tpu_jax/{_tag}"))
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -14,7 +14,16 @@ from .correlation import (
     xi,
 )
 from .analysis import COVARIANCE_DISTANCES, knn_kl_divergence, mutual_information, pca
-from .comparison import RandomGenerator, SelfSupervisedOptimization, SupervisedSequenceModel, compare_models
+from .comparison import (
+    LucidSonicBaseline,
+    RandomGenerator,
+    SelfSupervisedOptimization,
+    SupervisedSequenceModel,
+    compare_models,
+    evaluate_trained_checkpoint_dirs,
+    from_video_dir,
+    supplementary_material,
+)
 from .context_fid import CausalCNNEncoder, context_fid, train_encoder
 from .ood import compute as compute_ood
 from .ood import frechet_distance, kernel_distance, prdc

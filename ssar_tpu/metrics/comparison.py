@@ -40,7 +40,7 @@ class RandomGenerator:
     def __init__(self, G, fps: int = 24, seed: int | None = None):
         self.G, self.fps, self.seed = G, fps, seed
 
-    def predict(self, audio, sr, palette=None):
+    def predict(self, audio, sr, palette=None, interp=None):
         from ..generate.mir import retrieve_music_information
         from ..generate.patch import Patch
 
@@ -59,32 +59,44 @@ class SupervisedSequenceModel:
     def __init__(self, model, params, fps: int = 24, residual: bool = False, G=None):
         self.model, self.params, self.fps, self.residual, self.G = model, params, fps, residual, G
 
-    def predict(self, audio, sr, palette=None):
+    def predict(self, audio, sr, palette=None, interp=None):
         from ..audio.features import audio2features
 
         feats = audio2features(jnp.asarray(audio), int(sr), self.fps)
         latents, noise = self.model.apply(self.params, feats[None],
                                           rngs={"noise": jax.random.PRNGKey(0)})
         latents = latents[0]
-        if self.residual and self.G is not None:
-            z = jax.random.normal(jax.random.PRNGKey(1), (1, 512))
-            latents = latents + self.G.mapper(z)[0]
+        if self.residual:
+            if interp is not None:  # provided base walk (comparison.py:92-94)
+                latents = latents + jnp.asarray(interp)[: latents.shape[0]]
+            elif self.G is not None:
+                z = jax.random.normal(jax.random.PRNGKey(1), (1, 512))
+                latents = latents + self.G.mapper(z)[0]
         return latents, [n[0] for n in noise]
 
 
 class SelfSupervisedOptimization:
     """Per-track test-time optimization predictor (comparison.py:98-211)."""
 
+    # the comparison harness's per-feature weight boosts (comparison.py:138-141)
+    WEIGHT_BOOSTS = {"onsets": 3.0, "rms": 10.0, "rosa_segmentation": 2.0, "drop_strength": 10.0}
+
     def __init__(self, fps: int = 24, n_steps: int = 128, gan_config=None, model_file=None):
         self.fps, self.n_steps = fps, n_steps
         self.gan_config, self.model_file = gan_config, model_file
 
-    def predict(self, audio, sr, palette=None):
+    def predict(self, audio, sr, palette=None, interp=None, n_params: int = 128,
+                emphasize_feature: str | None = None,
+                use_audio_segmentation_features: bool = True):
         from ..generate.optimize import optimize
 
-        _, latents, noise, _ = optimize(audio=np.asarray(audio), sr=int(sr), fps=self.fps,
-                                        n_steps=self.n_steps, gan_config=self.gan_config,
-                                        model_file=self.model_file, render=False)
+        _, latents, noise, _ = optimize(
+            audio=np.asarray(audio), sr=int(sr), fps=self.fps,
+            n_steps=self.n_steps, n_params=n_params, gan_config=self.gan_config,
+            model_file=self.model_file, render=False, palette=palette, interp=interp,
+            emphasize_feature=emphasize_feature,
+            use_audio_segmentation_features=use_audio_segmentation_features,
+            feature_weight_boosts=self.WEIGHT_BOOSTS)
         return latents, noise
 
 
@@ -175,3 +187,208 @@ def compare_models(name: str, models: dict, clips: list, G, out_dir: str = "outp
     except ImportError:
         pass
     return records
+
+
+class LucidSonicBaseline:
+    """JAX-native stand-in for the LucidSonicDreams baseline
+    (comparison.py:358-439,491-499 'lucid').
+
+    The reference times the external lucidsonicdreams package's vector
+    generation (speed_fpm latent walk + percussive pulse + harmonic motion)
+    via a monkeypatched ``hallucinate``; here the same recipe is a small
+    on-device program: palette keyframes interpolated at ``speed_fpm``,
+    an onset-scaled pulse perturbation, and a harmonic-energy-modulated
+    random walk, all gaussian-smoothed.
+    """
+
+    def __init__(self, G, fps: int = 24, speed_fpm: int = 12, pulse_react: float = 0.5,
+                 motion_react: float = 0.5, seed: int = 0):
+        self.G, self.fps, self.speed_fpm = G, fps, speed_fpm
+        self.pulse_react, self.motion_react, self.seed = pulse_react, motion_react, seed
+
+    def predict(self, audio, sr, palette=None, interp=None):
+        from ..audio import features as AF
+        from ..ops.gaussian import gaussian_filter
+
+        audio = jnp.asarray(audio)
+        T = int(audio.shape[-1] // 1024)
+        key = jax.random.PRNGKey(self.seed)
+        k_base, k_pulse, k_motion = jax.random.split(key, 3)
+
+        # base walk: speed_fpm keyframes per minute, smooth-interpolated
+        n_key = max(2, int(round(self.speed_fpm * T / (self.fps * 60))) + 1)
+        zs = jax.random.normal(k_base, (n_key, 512))
+        pos = jnp.linspace(0, n_key - 1, T)
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_key - 2)
+        frac = (pos - i0)[:, None]
+        z = zs[i0] * (1 - frac) + zs[i0 + 1] * frac
+        z = gaussian_filter(z, self.fps / 4)
+
+        # pulse: percussive onset envelope kicks a fixed direction in and out
+        onset = AF.onsets(audio, int(sr))[:T, 0]
+        pulse_dir = jax.random.normal(k_pulse, (512,))
+        z = z + self.pulse_react * onset[:, None] * pulse_dir[None]
+
+        # motion: harmonic RMS modulates the step size of a smoothed walk
+        harm_env = AF.rms(AF.harmonic(audio), int(sr))[:T, 0]
+        steps = gaussian_filter(jax.random.normal(k_motion, (T, 512)), 4)
+        z = z + self.motion_react * jnp.cumsum(harm_env[:, None] * steps, axis=0) / jnp.sqrt(T)
+
+        if self.G is not None:
+            latents = self.G.mapper(z)
+        else:
+            latents = jnp.repeat(z[:, None, :], 18, axis=1)
+        return latents, None
+
+
+def evaluate_trained_checkpoint_dirs(run_dirs, name: str, clips, G, n_ckpts: int = 1,
+                                     out_dir: str = "output"):
+    """Correlation sweep over training runs x checkpoint steps x clips
+    (comparison.py:266-355).
+
+    ``run_dirs`` are our train.py run directories (config.json + Orbax
+    ckpt/); hyperparameters come from the stored config instead of parsing
+    run-dir name strings.  ``n_ckpts`` evenly-spaced checkpoint steps are
+    evaluated per run (always including the last).  Incremental per-job
+    json resume; returns records and writes ``<out_dir>/<name>.csv``.
+    """
+    import orbax.checkpoint as ocp
+
+    from ..train.evaluate import load_checkpoint
+
+    out = Path(out_dir) / name
+    out.mkdir(parents=True, exist_ok=True)
+    records = []
+    for run_dir in run_dirs:
+        run_dir = Path(run_dir)
+        cfg = json.loads((run_dir / "config.json").read_text())
+        mgr = ocp.CheckpointManager(run_dir.resolve() / "ckpt")
+        steps = sorted(mgr.all_steps())
+        if n_ckpts > 1:
+            sel = np.linspace(0, len(steps) - 1, min(n_ckpts, len(steps))).round().astype(int)
+            steps = [steps[i] for i in sorted(set(sel.tolist()))]
+        else:
+            steps = steps[-1:]
+        for step in steps:
+            model, params, _ = load_checkpoint(str(run_dir), step=step)
+            predictor = SupervisedSequenceModel(model, params, residual=cfg.get("residual", False), G=G)
+            for clip_name, audio, sr in clips:
+                item = out / f"{run_dir.name}_step{step}_{clip_name}.json"
+                if item.exists():
+                    records.append(json.loads(item.read_text()))
+                    continue
+                try:
+                    rec = evaluate_clip(G, predictor, audio, sr)
+                except Exception as e:  # keep sweeps alive (comparison.py:350-351)
+                    print(f"ERROR {run_dir.name}/step{step}/{clip_name}: {e}")
+                    continue
+                rec.update({"run": run_dir.name, "clip": clip_name, "steps": int(step),
+                            **{k: cfg[k] for k in ("backbone", "loss", "decoder", "residual",
+                                                   "n_latent_split", "hidden_size", "num_layers",
+                                                   "dropout", "lr") if k in cfg}})
+                item.write_text(json.dumps(rec))
+                records.append(rec)
+                print(f"{run_dir.name}/step{step}/{clip_name}: {rec['correlation']:.4f}")
+    _write_csv(records, Path(out_dir) / f"{name}.csv")
+    return records
+
+
+def from_video_dir(videos, name: str, out_dir: str = "output", downsample: int = 4):
+    """Audio-reactivity correlation of EXISTING videos (comparison.py:558-607).
+
+    ``videos``: list of (clip_name, video, audio, sr) where ``video`` is a
+    path to an .mp4 (cv2 decode) or a (T, C, H, W) float array in [0, 1].
+    Video features are linearly resampled on the time axis to the audio
+    feature frame count before correlating.  Incremental json resume + CSV.
+    """
+    from .sectional import load_video
+
+    out = Path(out_dir) / name
+    out.mkdir(parents=True, exist_ok=True)
+    records = []
+    for clip_name, video, audio, sr in videos:
+        item = out / f"{clip_name}.json"
+        if item.exists():
+            records.append(json.loads(item.read_text()))
+            continue
+        if isinstance(video, (str, Path)):
+            video, _fps = load_video(str(video), downsample=downsample)
+        video = jnp.asarray(video)
+
+        vfeats = {n: fn(video)[None] for n, fn in zip(VFN_NAMES, VFNS)}
+        afeats = {fn.__name__: fn(jnp.asarray(audio), int(sr))[None] for fn in AFNS}
+
+        length = next(iter(afeats.values())).shape[1]
+        vfeats = {k: jax.image.resize(v, (1, length, v.shape[2]), method="linear")
+                  for k, v in vfeats.items()}
+
+        rec = {"clip": clip_name,
+               "correlation": float(1 - audio_reactive_loss(afeats, vfeats)[0])}
+        for an, af in afeats.items():
+            for vn, vf in vfeats.items():
+                rec[f"{an}|{vn}"] = float(1 - audio_reactive_loss([af], [vf])[0])
+        item.write_text(json.dumps(rec))
+        records.append(rec)
+        print(f"{clip_name}: correlation {rec['correlation']:.4f}")
+    _write_csv(records, Path(out_dir) / f"{name}.csv")
+    return records
+
+
+def supplementary_material(G, clips, models: dict | None = None, out_dir: str = "output/suppmat",
+                           duration: float | None = 90.0, fps: int = 24, size: int = 256,
+                           batch_size: int = 16):
+    """Render showcase videos for every model on every clip
+    (comparison.py:627-703): all models share a seeded 30-latent palette and
+    a gaussian-smoothed random w-walk ``interp`` per clip, rendered at
+    ``size`` px and muxed with the audio.  Existing files are skipped.
+    """
+    from ..gan.render import render_latents_to_video
+    from ..gan.wrapper import make_noise_pyramid
+
+    if models is None:
+        models = {"Randomizer": RandomGenerator(G, fps=fps, seed=42),
+                  "HiPPO": SelfSupervisedOptimization(fps=fps),
+                  "LucidSonicDreams": LucidSonicBaseline(G, fps=fps)}
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    from ..ops.gaussian import gaussian_filter
+
+    outputs = []
+    for f, (clip_name, audio, sr) in enumerate(clips):
+        audio = np.asarray(audio)
+        if duration is not None:
+            audio = audio[: int(duration * sr)]
+        T = int(audio.shape[-1] // 1024)
+        for i, (model_name, model) in enumerate(models.items()):
+            outfile = out / f"{model_name}_{clip_name}_{i}.mp4"
+            if outfile.exists():
+                outputs.append(str(outfile))
+                continue
+            key = jax.random.PRNGKey(42 + f * len(models) + i)
+            k1, k2 = jax.random.split(key)
+            palette = G.mapper(jax.random.normal(k1, (30, 512)))
+            interp = G.mapper(gaussian_filter(jax.random.normal(k2, (T, 512)), 40))
+
+            latents, noise = model.predict(audio, sr, palette=palette, interp=interp)
+            if noise is not None and len(noise) and not hasattr(noise[0], "forward"):
+                noise_nchw = [np.asarray(n)[:, None] if np.asarray(n).ndim == 3 else np.asarray(n)
+                              for n in noise]
+                noise = [noise_nchw[0]] + [n for nn in noise_nchw[1:] for n in (nn, nn)]
+            elif noise is not None and len(noise) and hasattr(noise[0], "forward"):
+                noise = [nm.forward(0, latents.shape[0])[:, None] for nm in noise]
+            render_latents_to_video(G.synthesizer, latents,
+                                    noise[: G.synthesizer.n_noises_used] if noise else None,
+                                    str(outfile), fps=fps, batch_size=batch_size,
+                                    output_size=(size, size), progress=False)
+            outputs.append(str(outfile))
+            print(f"wrote {outfile}")
+    return outputs
+
+
+def _write_csv(records: list, path: Path) -> None:
+    try:
+        import pandas as pd
+
+        pd.DataFrame(records).to_csv(path)
+    except ImportError:
+        pass

@@ -39,21 +39,22 @@ def upfirdn2d(x: jax.Array, kernel: jax.Array, up: int = 1, down: int = 1,
     """
     B, H, W, C = x.shape
     kh, kw = kernel.shape
-    # depthwise: fold channels into batch, single-channel conv
-    xr = x.transpose(0, 3, 1, 2).reshape(B * C, 1, H, W)
-    k = jnp.flip(kernel, (0, 1))[None, None].astype(x.dtype)  # true convolution
+    # depthwise conv in native NHWC (feature_group_count=C): 3x faster than
+    # folding channels into batch on v5e and avoids the NCHW relayout copies
+    # that blew HBM at large batch (padded bf16[B*C,1,H,W] temps).
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)  # true convolution
+    kd = jnp.broadcast_to(k[:, :, None, None], (kh, kw, 1, C))
     pad0, pad1 = pad
     # torch-style upfirdn upsamples to H*up (up-1 trailing zeros); lhs_dilation
     # yields (H-1)*up + 1, so fold the missing zeros into the right pad.
-    out = jax.lax.conv_general_dilated(
-        xr, k,
+    return jax.lax.conv_general_dilated(
+        x, kd,
         window_strides=(down, down),
         padding=((pad0, pad1 + up - 1), (pad0, pad1 + up - 1)),
         lhs_dilation=(up, up),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
     )
-    _, _, Ho, Wo = out.shape
-    return out.reshape(B, C, Ho, Wo).transpose(0, 2, 3, 1)
 
 
 def fused_leaky_relu(x: jax.Array, bias: jax.Array | None = None, negative_slope: float = 0.2,

@@ -13,7 +13,7 @@ ssar/analysis/visual_beats.py).  Videos are (T, C, H, W) float [0, 1]
 """
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -40,18 +40,22 @@ def _channel_histogram(frames: jax.Array, bins: int) -> jax.Array:
     return hist / jnp.max(hist, axis=1, keepdims=True)
 
 
+@partial(jax.jit, static_argnames=("bins",))
 def redogram(video, bins: int = 32):
     return _channel_histogram(video[:, 0], bins)
 
 
+@partial(jax.jit, static_argnames=("bins",))
 def greenogram(video, bins: int = 32):
     return _channel_histogram(video[:, 1], bins)
 
 
+@partial(jax.jit, static_argnames=("bins",))
 def blueogram(video, bins: int = 32):
     return _channel_histogram(video[:, 2], bins)
 
 
+@partial(jax.jit, static_argnames=("bins",))
 def rgb_hist(video, bins: int = 96):
     b = bins // 3
     return jnp.concatenate([redogram(video, b), greenogram(video, b), blueogram(video, b)], -1)
@@ -74,28 +78,34 @@ def rgb_to_hsv(video: jax.Array) -> jax.Array:
     return jnp.stack([h, s, v], axis=1)
 
 
+@partial(jax.jit, static_argnames=("bins",))
 def huestogram(video, bins: int = 32):
     return _channel_histogram(rgb_to_hsv(video)[:, 0], bins)
 
 
+@partial(jax.jit, static_argnames=("bins",))
 def saturogram(video, bins: int = 32):
     return _channel_histogram(rgb_to_hsv(video)[:, 1], bins)
 
 
+@partial(jax.jit, static_argnames=("bins",))
 def valueogram(video, bins: int = 32):
     return _channel_histogram(rgb_to_hsv(video)[:, 2], bins)
 
 
+@partial(jax.jit, static_argnames=("bins",))
 def hsv_hist(video, bins: int = 96):
     b = bins // 3
     return jnp.concatenate([huestogram(video, b), saturogram(video, b), valueogram(video, b)], -1)
 
 
 # ----------------------------------------------------- variance / motion --
+@jax.jit
 def visual_variance(video):
     return jnp.var(video, axis=(1, 2, 3))[:, None]
 
 
+@partial(jax.jit, static_argnames=("stride",))
 def absdiff(video, stride: int = 64):
     """(T, ...) -> (T, 1) framewise sum |diff| (video.py:65-74)."""
     return absdiff_ref(video)[:, None]
@@ -130,6 +140,7 @@ def fft(video, norm: str = "forward"):
     return jnp.fft.rfft2(video, norm=norm)[..., : h // 2, : w // 2]
 
 
+@jax.jit
 def video_spectrogram(video):
     """(T, C, H, W) -> (T, F) log-polar-averaged spatial spectrum
     (video.py:88-97)."""
@@ -145,24 +156,28 @@ def video_spectrogram(video):
     return jnp.mean(warped, axis=(1, 2))[:, 2:]
 
 
+@jax.jit
 def low_freq_rms(video):
     spec = video_spectrogram(video)
     f = spec.shape[1]
     return jnp.mean(spec[:, : f // 3] ** 2, axis=1, keepdims=True)
 
 
+@jax.jit
 def mid_freq_rms(video):
     spec = video_spectrogram(video)
     f = spec.shape[1]
     return jnp.mean(spec[:, f // 3 : 2 * f // 3] ** 2, axis=1, keepdims=True)
 
 
+@jax.jit
 def high_freq_rms(video):
     spec = video_spectrogram(video)
     f = spec.shape[1]
     return jnp.mean(spec[:, 2 * f // 3 :] ** 2, axis=1, keepdims=True)
 
 
+@partial(jax.jit, static_argnames=("k",))
 def adaptive_freq_rms(video, k: int = 10):
     spec = video_spectrogram(video)
     top = jax.lax.top_k(jnp.std(spec, axis=0), k)[1]
@@ -176,20 +191,29 @@ def optical_flow(video, backend: str = "jax"):
     backend "jax": pure-jnp Farneback (ssar_tpu/video/flow.py, TPU path);
     backend "cv2": the reference's CPU worker pool path (test oracle).
     """
-    gray = jnp.mean(video, axis=1)
     if backend == "cv2":
         flow = _optical_flow_cv2(np.asarray(video))
-    else:
-        from .flow import farneback_flow
+        return _flow_postprocess(flow)
+    return _optical_flow_jax(video)
 
-        uv = farneback_flow(gray)  # (T-1, 2, H, W)
-        flow = jnp.concatenate([uv[:1], uv], axis=0)
-        mag = jnp.sqrt(flow[:, 0] ** 2 + flow[:, 1] ** 2)
-        ang = jnp.arctan2(flow[:, 1], flow[:, 0])
-        flow = jnp.stack([mag, ang], axis=1)
+
+@jax.jit
+def _flow_postprocess(flow: jax.Array) -> jax.Array:
     mag = standardize(flow[:, 0])
     ang = normalize(flow[:, 1])
     return jnp.stack([mag, ang], axis=1)
+
+
+@jax.jit
+def _optical_flow_jax(video: jax.Array) -> jax.Array:
+    from .flow import farneback_flow
+
+    gray = jnp.mean(video, axis=1)
+    uv = farneback_flow(gray)  # (T-1, 2, H, W)
+    flow = jnp.concatenate([uv[:1], uv], axis=0)
+    mag = jnp.sqrt(flow[:, 0] ** 2 + flow[:, 1] ** 2)
+    ang = jnp.arctan2(flow[:, 1], flow[:, 0])
+    return _flow_postprocess(jnp.stack([mag, ang], axis=1))
 
 
 def _optical_flow_cv2(video: np.ndarray) -> jnp.ndarray:
@@ -209,6 +233,7 @@ def _optical_flow_cv2(video: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(flows)
 
 
+@partial(jax.jit, static_argnames=("bins",))
 def directogram(flow, bins: int = 8):
     """Angle-binned flow-magnitude histogram (video.py:159-175). (T, bins)."""
     bin_width = 256 // bins
@@ -228,6 +253,7 @@ def video_flow_onsets(video, backend: str = "jax"):
     return onset_envelope(spectral_flux(spec))[:, None]
 
 
+@jax.jit
 def video_spectral_onsets(video):
     spec = video_spectrogram(video)
     return onset_envelope(spectral_flux(spec))[:, None]

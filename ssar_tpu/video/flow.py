@@ -141,3 +141,78 @@ def farneback_flow(gray: jax.Array, levels: int = 3, iterations: int = 3,
             flow = jnp.stack([u, v], axis=-1)
 
     return jnp.moveaxis(flow, -1, 1)
+
+
+# -------------------------------------------------------- Lucas-Kanade --
+@lru_cache(maxsize=None)
+def _gauss_kernel_1d(k: int, sigma: float) -> np.ndarray:
+    x = np.arange(k, dtype=np.float64) - (k - 1) / 2
+    w = np.exp(-(x**2) / (2 * sigma**2))
+    return (w / w.sum()).astype(np.float32)
+
+
+def _gauss_blur2d(img: jax.Array, k: int = 5, sigma: float = 3.0) -> jax.Array:
+    """(H, W) separable gaussian blur, reflect-padded 'same'."""
+    w = jnp.asarray(_gauss_kernel_1d(k, sigma))
+    p = k // 2
+    x = jnp.pad(img, ((p, p), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(x[None, None], w[None, None, :, None],
+                                     (1, 1), "VALID",
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                                     precision=jax.lax.Precision.HIGHEST)[0, 0]
+    x = jnp.pad(x, ((0, 0), (p, p)), mode="reflect")
+    x = jax.lax.conv_general_dilated(x[None, None], w[None, None, None, :],
+                                     (1, 1), "VALID",
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                                     precision=jax.lax.Precision.HIGHEST)[0, 0]
+    return x
+
+
+def lucas_kanade(im1: jax.Array, im2: jax.Array, win: int = 2) -> jax.Array:
+    """Single-level differentiable Lucas-Kanade flow (flow.py:76-131).
+
+    im1, im2: (H, W) grayscale.  Central-difference gradients, gaussian-
+    blurred structure-tensor entries, integral-image window sums of width
+    2*win+1, closed-form 2x2 solve per pixel; borders zero.  (H, W, 2).
+    """
+    H, W = im1.shape
+    z = jnp.zeros_like(im1)
+    I_x = z.at[1:-1, 1:-1].set((im1[1:-1, 2:] - im1[1:-1, :-2]) / 2)
+    I_y = z.at[1:-1, 1:-1].set((im1[2:, 1:-1] - im1[:-2, 1:-1]) / 2)
+    I_t = z.at[1:-1, 1:-1].set(im1[1:-1, 1:-1] - im2[1:-1, 1:-1])
+
+    params = jnp.stack([_gauss_blur2d(p) for p in
+                        (I_x * I_x, I_y * I_y, I_x * I_y, I_x * I_t, I_y * I_t)], axis=-1)
+    cum = jnp.cumsum(jnp.cumsum(params, axis=0), axis=1)
+    s = 2 * win + 1
+    wp = (cum[s:, s:] - cum[s:, :-s] - cum[:-s, s:] + cum[:-s, :-s])
+
+    det = wp[..., 0] * wp[..., 1] - wp[..., 2] ** 2
+    safe = jnp.where(det != 0, det, 1.0)
+    fx = jnp.where(det != 0, (wp[..., 1] * wp[..., 3] - wp[..., 2] * wp[..., 4]) / safe, 0.0)
+    fy = jnp.where(det != 0, (wp[..., 0] * wp[..., 4] - wp[..., 2] * wp[..., 3]) / safe, 0.0)
+
+    flow = jnp.zeros((H, W, 2), im1.dtype)
+    flow = flow.at[win + 1 : -1 - win, win + 1 : -1 - win, 0].set(fx[:-1, :-1])
+    flow = flow.at[win + 1 : -1 - win, win + 1 : -1 - win, 1].set(fy[:-1, :-1])
+    return flow
+
+
+def _pyramid_reduce(img: jax.Array) -> jax.Array:
+    return _gauss_blur2d(img, 5, 1.0)[::2, ::2]
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def lucas_kanade_pyramid(im1: jax.Array, im2: jax.Array, levels: int = 4) -> jax.Array:
+    """Coarse-to-fine gaussian-pyramid LK (flow.py:134-156).  (H, W, 2)."""
+    pyramid = []
+    a, b = im1, im2
+    for _ in range(levels):
+        a, b = _pyramid_reduce(a), _pyramid_reduce(b)
+        pyramid.append((a, b))
+
+    flow = lucas_kanade(a, b)
+    for p1, p2 in pyramid[-2::-1]:
+        up = 2.0 * jax.image.resize(flow, (flow.shape[0] * 2, flow.shape[1] * 2, 2), "bilinear")
+        flow = up[: p1.shape[0], : p1.shape[1]] + lucas_kanade(p1, p2)
+    return flow

@@ -288,3 +288,46 @@ def test_compare_models_forward_only(tmp_path):
     recs = compare_models("fwd", {"fake": Fake()}, clips, G=None,
                           out_dir=str(tmp_path), forward_only=True)
     assert len(recs) == 1 and recs[0]["n"] == 4 and "time" in recs[0]
+
+
+def test_audioreactive_patch_api(rng, tmp_path):
+    import ssar_tpu.generate.audioreactive as ar
+
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
+    audio[:: sr // 2] += 1.0
+    T = 48
+    palette = jnp.asarray(rng.randn(12, 18, 512).astype(np.float32))
+
+    env = ar.onsets(audio, sr, T, fmin=200, clip=94, smooth=2)
+    assert env.shape == (T,) and float(env.min()) >= 0 and float(env.max()) <= 1
+    assert float(ar.compress(env, 0.5, 0.5).max()) <= 1.0
+
+    loops = ar.slerp_loops(palette[:4], T, 2, smoothing=4)
+    assert loops.shape == (T, 18, 512)
+    ch = ar.chroma(audio, sr, T)
+    assert ar.TonalLatents(ch, palette).shape == (T, 18, 512)
+    bpm = ar.tempo(audio, sr)
+    assert 30 < bpm < 300
+    assert ar.TempoLoopLatents(bpm, palette, T, n_bars=4).shape == (T, 18, 512)
+
+    # randomized pipeline: every seed produces finite output
+    for seed in range(4):
+        kind, out = ar.RandomPatch(seed=seed).forward(audio, sr, palette, loops,
+                                                      noise_size=(16, 16))
+        assert kind in ("latent", "noise")
+        assert np.isfinite(np.asarray(out)).all()
+
+    # patch-file contract
+    patch = tmp_path / "patch.py"
+    patch.write_text(
+        "import ssar_tpu.generate.audioreactive as ar\n"
+        "def initialize(args):\n"
+        "    args.env = ar.onsets(args.audio, args.sr, args.n_frames, smooth=2)\n"
+        "    return args\n"
+        "def get_latents(selection, args):\n"
+        "    base = ar.slerp_loops(selection[:4], args.n_frames, 1, smoothing=8)\n"
+        "    return ar.ModulatedLatents(args.env, base, selection[5])\n")
+    mod = ar.load_patch_module(str(patch))
+    lats, _ = ar.render_patch(mod, audio, sr, palette=palette)
+    assert lats.shape == (T, 18, 512)

@@ -132,3 +132,60 @@ def test_reactivity_metrics_discriminate(rng):
     r_reactive = float(rhythmic_reactivity(jnp.asarray(audio), sr, jnp.asarray(reactive), fps))
     r_static = float(rhythmic_reactivity(jnp.asarray(audio), sr, jnp.asarray(static), fps))
     assert r_reactive > r_static
+
+
+def test_lucid_baseline_and_from_video_dir(tmp_path, rng):
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.gan.wrapper import StyleGAN2
+    from ssar_tpu.metrics.comparison import LucidSonicBaseline, from_video_dir
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    G = StyleGAN2(config=cfg)
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
+    audio[:: sr // 2] += 1.0
+
+    lats, noise = LucidSonicBaseline(G, fps=24).predict(audio, sr)
+    assert lats.shape == (48, cfg.n_latent, 512) and noise is None
+    assert np.isfinite(np.asarray(lats)).all()
+
+    video = rng.rand(48, 3, 32, 32).astype(np.float32)
+    recs = from_video_dir([("clipA", video, audio, sr)], "fvd", out_dir=str(tmp_path))
+    assert len(recs) == 1 and np.isfinite(recs[0]["correlation"])
+    # resume: second call reads the cached json
+    assert from_video_dir([("clipA", video, audio, sr)], "fvd", out_dir=str(tmp_path)) == recs
+
+
+def test_evaluate_trained_checkpoint_dirs(tmp_path, rng):
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.gan.wrapper import StyleGAN2
+    from ssar_tpu.metrics.comparison import evaluate_trained_checkpoint_dirs
+    from ssar_tpu.train.train import main as train_main
+
+    d1, _ = train_main(["--smoke", "--backbone", "mlp", "--num_layers", "1",
+                        "--n_examples", "64", "--eval_every", "32", "--ckpt_every", "32",
+                        "--out_dir", str(tmp_path)])
+    G = StyleGAN2(config=sg.StyleGAN2Config(resolution=32))
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
+    recs = evaluate_trained_checkpoint_dirs([str(d1)], "sweep", [("clipA", audio, sr)], G,
+                                            n_ckpts=2, out_dir=str(tmp_path))
+    assert len(recs) == 2
+    assert {r["steps"] for r in recs} == {0, 64}
+    assert all(np.isfinite(r["correlation"]) for r in recs)
+    assert recs[0]["backbone"] == "mlp"
+
+
+def test_lucas_kanade_pyramid_recovers_shift(rng):
+    from scipy.ndimage import gaussian_filter as gf
+    from scipy.ndimage import shift as ndshift
+
+    from ssar_tpu.video.flow import lucas_kanade_pyramid
+
+    img = gf(rng.rand(80, 96).astype(np.float32), 4)
+    im2 = ndshift(img, (0, -3), order=3, mode="reflect")
+    f = np.asarray(lucas_kanade_pyramid(jnp.asarray(img), jnp.asarray(im2), levels=2))
+    assert np.isfinite(f).all()
+    inner = f[12:-12, 12:-12]
+    assert abs(inner[..., 0].mean() + 3.0) < 0.5  # x displacement ~ -3
+    assert abs(inner[..., 1].mean()) < 0.3
