@@ -52,3 +52,20 @@ def emphasize(envs: jax.Array, strength: float, percentile: float) -> jax.Array:
     x = x / mx
     x = x * (1 + jnp.tanh(strength * (x - jnp.quantile(x, percentile / 100.0, axis=0))))
     return (x * mx) + mn
+
+
+def sync_agg(data: jax.Array, slices: list, aggregate=jnp.mean, axis: int = -1,
+             pad_slice: bool = False) -> jax.Array:
+    """Aggregate `data` over a host list of index slices along `axis`
+    (ssar/features/rosa/helpers.py:4-21): the beat-synchronisation helper.
+    Slices are static, so this unrolls to a fixed stack of reductions."""
+    if pad_slice:
+        slices = list(slices) + [data.shape[axis] - 1]
+    idx = [slice(None)] * data.ndim
+    outs = []
+    for segment in slices:
+        if isinstance(segment, int):  # single index -> width-1 window
+            segment = slice(segment, segment + 1)
+        idx[axis] = segment
+        outs.append(aggregate(data[tuple(idx)], axis=axis))
+    return jnp.stack(outs, axis=axis)

@@ -16,8 +16,56 @@ import numpy as np
 from .s4 import S4Block
 
 
+class VariationalLSTM(nn.Module):
+    """LSTM with variational (locked) dropout — the better_lstm equivalent
+    (ssar/models/audio2latent.py:173-183 passes dropouti/dropoutw/dropouto).
+
+    One Bernoulli mask per sequence (not per step): input features
+    (dropouti), recurrent hidden state (dropoutw — the Gal & Ghahramani
+    stand-in for weight DropConnect), outputs (dropouto)."""
+
+    features: int
+    dropouti: float = 0.0
+    dropoutw: float = 0.0
+    dropouto: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B = x.shape[0]
+        cell = nn.OptimizedLSTMCell(self.features)
+        mh = jnp.ones((B, self.features), x.dtype)
+        if not deterministic and (self.dropouti or self.dropoutw or self.dropouto):
+            k1, k2, k3 = jax.random.split(self.make_rng("dropout"), 3)
+            if self.dropouti:
+                keep = 1 - self.dropouti
+                x = x * jax.random.bernoulli(k1, keep, (B, 1, x.shape[-1])) / keep
+            if self.dropoutw:
+                keep = 1 - self.dropoutw
+                mh = jax.random.bernoulli(k2, keep, mh.shape).astype(x.dtype) / keep
+            mo = None
+            if self.dropouto:
+                keep = 1 - self.dropouto
+                mo = jax.random.bernoulli(k3, keep, (B, 1, self.features)).astype(x.dtype) / keep
+        else:
+            mo = None
+
+        carry = cell.initialize_carry(jax.random.PRNGKey(0), x[:, 0].shape)
+
+        def step(cell_, carry_, xt):
+            c, h = carry_
+            return cell_((c, h * mh), xt)
+
+        scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False},
+                       in_axes=1, out_axes=1)
+        _, ys = scan(cell, carry, x)
+        return ys * mo if mo is not None else ys
+
+
 class MultiLayerRNN(nn.Module):
-    """Stacked GRU/LSTM over (B, L, H) via nn.RNN (lax.scan inside)."""
+    """Stacked GRU/LSTM over (B, L, H) via nn.RNN (lax.scan inside).
+
+    cell="lstm" uses VariationalLSTM with dropouti=dropoutw=dropouto=dropout,
+    matching the reference's better_lstm configuration."""
 
     features: int
     num_layers: int = 4
@@ -27,10 +75,13 @@ class MultiLayerRNN(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         for i in range(self.num_layers):
-            cell = nn.GRUCell(self.features) if self.cell == "gru" else nn.OptimizedLSTMCell(self.features)
-            x = nn.RNN(cell)(x)
-            if self.dropout > 0 and i < self.num_layers - 1:
-                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            if self.cell == "gru":
+                x = nn.RNN(nn.GRUCell(self.features))(x)
+                if self.dropout > 0 and i < self.num_layers - 1:
+                    x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            else:
+                x = VariationalLSTM(self.features, self.dropout, self.dropout,
+                                    self.dropout)(x, deterministic=deterministic)
         return x
 
 

@@ -177,3 +177,14 @@ def test_audio2features_shape_and_stats():
     assert np.isfinite(F).all()
     # chroma block peaks at A (bin 9) for a 440 Hz tone
     assert np.bincount(np.argmax(F[:, 20:32], axis=1)).argmax() == 9
+
+
+def test_sync_agg():
+    from ssar_tpu.audio.processing import sync_agg
+
+    x = jnp.arange(24.0).reshape(2, 12)
+    out = sync_agg(x, [slice(0, 4), slice(4, 8), slice(8, 12)], jnp.mean, axis=1)
+    assert out.shape == (2, 3)
+    assert np.allclose(np.asarray(out[0]), [1.5, 5.5, 9.5])
+    out2 = sync_agg(x, [slice(0, 6)], jnp.max, axis=1, pad_slice=True)
+    assert out2.shape == (2, 2) and float(out2[0, 1]) == 11.0

@@ -19,11 +19,16 @@ def test_audio2latent_v1_backbones(rng):
     from ssar_tpu.models.audio2latent import Audio2Latent
 
     x = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
-    for backbone in ["gru", "conv"]:
+    for backbone in ["gru", "lstm", "conv"]:
         m = Audio2Latent(jnp.zeros(F), jnp.ones(F), hidden_size=16,
-                         num_layers=2 if backbone == "gru" else 4, backbone=backbone)
+                         num_layers=4 if backbone == "conv" else 2, backbone=backbone,
+                         dropout=0.2)
         p = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x)
         assert m.apply(p, x).shape == (B, T, 18, 512)
+        # variational dropout is stochastic in train mode (better_lstm parity)
+        t1 = m.apply(p, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)})
+        t2 = m.apply(p, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(3)})
+        assert float(jnp.abs(t1 - t2).max()) > 1e-6
 
 
 def test_audio2latent_v2(rng):
