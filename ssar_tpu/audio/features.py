@@ -285,9 +285,10 @@ def _stage_post(features: jax.Array, fps: int, clamp: bool, smooth: bool, emphas
     return features
 
 
-@partial(jax.jit, static_argnames=("sr", "fps", "clamp", "smooth", "emphasis", "tuning"))
+@partial(jax.jit, static_argnames=("sr", "fps", "clamp", "smooth", "emphasis", "tuning", "velocity"))
 def audio2features(audio: jax.Array, sr: int, fps: int, clamp: bool = True, smooth: bool = True,
-                   emphasis: bool = False, tuning: float | None = None) -> jax.Array:
+                   emphasis: bool = False, tuning: float | None = None,
+                   velocity: bool = False) -> jax.Array:
     """(T, 59) canonical feature stack (ssar/supervised/data.py:59-107).
 
     `audio` may be (L,) mono or (C, L); resampled to 1024 * fps internally.
@@ -333,4 +334,8 @@ def audio2features(audio: jax.Array, sr: int, fps: int, clamp: bool = True, smoo
     features = jnp.concatenate(
         [mf, chroma, ton, contrast] + [s.reshape(-1, 1) for s in single], axis=1
     )
+    if velocity:  # optional velocity channels (data.py:91-94): 59 -> 118 dims
+        V = jnp.diff(gaussian_filter(features, fps), axis=0)
+        V = jnp.concatenate([V[:1], V], axis=0)
+        features = jnp.concatenate([features, V], axis=1)
     return _stage_post(features, fps, clamp, smooth, emphasis)

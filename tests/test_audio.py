@@ -188,3 +188,10 @@ def test_sync_agg():
     assert np.allclose(np.asarray(out[0]), [1.5, 5.5, 9.5])
     out2 = sync_agg(x, [slice(0, 6)], jnp.max, axis=1, pad_slice=True)
     assert out2.shape == (2, 2) and float(out2[0, 1]) == 11.0
+
+
+@pytest.mark.slow
+def test_audio2features_velocity_channels():
+    F = np.asarray(features.audio2features(jnp.asarray(_synth(2.0)), SR, 24, velocity=True))
+    assert F.shape[1] == 118
+    assert np.isfinite(F).all()
