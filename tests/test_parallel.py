@@ -110,3 +110,22 @@ def test_multichip_dryrun_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_tensor_parallel_synthesis_matches_single_device():
+    from jax.sharding import Mesh
+
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.parallel.synthesis_tp import synthesize_tp
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    params = sg.init_generator(jax.random.PRNGKey(0), cfg)
+    B = 4
+    lat = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.n_latent, 512))
+    noises = [jax.random.normal(jax.random.PRNGKey(i), (B, h, w, 1))
+              for i, (h, w) in enumerate(cfg.noise_shapes())]
+
+    ref = sg.synthesis(params, lat, noises, cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), axis_names=("data", "tp"))
+    out = synthesize_tp(params, lat, noises, cfg, mesh, dtype=jnp.float32)
+    assert float(jnp.abs(ref - out).max()) < 1e-3
