@@ -215,10 +215,68 @@ def grain_loader(cache_dir: str, split: str, batch_size: int, seed: int = 0,
     yield from loader
 
 
-def load_cached(cache_dir: str, split: str) -> WindowDataset:
+def load_cached(cache_dir: str, split: str):
+    """Windowed-shard cache -> WindowDataset; raw streaming cache (see
+    ``write_raw_cache``) -> MmapWindowDataset (auto-detected)."""
     cache_dir = Path(cache_dir)
+    if (cache_dir / f"{split}_starts.npy").exists():
+        return MmapWindowDataset(cache_dir, split)
     return WindowDataset(
         np.load(cache_dir / f"{split}_features.npy", mmap_mode="r"),
         np.load(cache_dir / f"{split}_latents.npy", mmap_mode="r"),
         [np.load(cache_dir / f"{split}_noise{s}.npy", mmap_mode="r") for s in (4, 8, 16, 32)],
     )
+
+
+def write_raw_cache(cache_dir, split: str, features: np.ndarray, latents: np.ndarray,
+                    noises: list, L: int, track_lengths: list[int], overlap: int = 4) -> None:
+    """Streaming cache layout: UNWINDOWED track-concatenated arrays plus an
+    int64 index of window starts (stride L//overlap, never crossing a track
+    boundary).  4x less disk than the windowed shards; windows are gathered
+    on demand by the C++ mmap loader (native/window_loader.cpp) — the
+    TPU-era stand-in for the reference's FFCV cache (data.py:262-368).
+    """
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    np.save(cache_dir / f"{split}_features_raw.npy", np.ascontiguousarray(features, np.float32))
+    np.save(cache_dir / f"{split}_latents_raw.npy", np.ascontiguousarray(latents, np.float32))
+    for s, nz in zip((4, 8, 16, 32), noises):
+        np.save(cache_dir / f"{split}_noise{s}_raw.npy", np.ascontiguousarray(nz, np.float32))
+    starts, off = [], 0
+    stride = L // overlap
+    for T in track_lengths:
+        starts.extend(range(off, off + max(T - L, 0) + 1, stride))
+        off += T
+    np.save(cache_dir / f"{split}_starts.npy", np.asarray(starts, np.int64))
+    (cache_dir / f"{split}_window.json").write_text(json.dumps({"L": L}))
+
+
+class MmapWindowDataset:
+    """On-demand windowed dataset over the raw streaming cache: each batch
+    is gathered straight from the mmapped files by the native loader, so
+    corpora far larger than RAM stream at memcpy speed."""
+
+    def __init__(self, cache_dir, split: str):
+        from ..utils.native import MmapWindows
+
+        cache_dir = Path(cache_dir)
+        self.L = json.loads((cache_dir / f"{split}_window.json").read_text())["L"]
+        self.starts = np.load(cache_dir / f"{split}_starts.npy")
+        self.features = MmapWindows(cache_dir / f"{split}_features_raw.npy", self.L)
+        self.latents = MmapWindows(cache_dir / f"{split}_latents_raw.npy", self.L)
+        self.noises = [MmapWindows(cache_dir / f"{split}_noise{s}_raw.npy", self.L)
+                       for s in (4, 8, 16, 32)]
+
+    def __len__(self):
+        return len(self.starts)
+
+    def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True, drop_last: bool = True):
+        idx = np.arange(len(self))
+        rng = np.random.RandomState(seed)
+        while True:
+            if shuffle:
+                rng.shuffle(idx)
+            for i in range(0, len(idx) - (batch_size - 1 if drop_last else 0), batch_size):
+                sel = self.starts[idx[i : i + batch_size]]
+                yield (self.features.gather(sel), self.latents.gather(sel),
+                       *[n.gather(sel) for n in self.noises])

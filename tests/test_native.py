@@ -39,3 +39,42 @@ def test_cpp_standardize(rng):
 def test_cpp_quantile_small_inputs():
     assert native.quantile(np.array([3.0], np.float32), 0.7) == pytest.approx(3.0)
     np.testing.assert_allclose(native.quantile(np.array([1.0, 2.0], np.float32), 0.5), 1.5)
+
+
+def test_mmap_window_loader_matches_numpy(tmp_path):
+    from ssar_tpu.utils.native import MmapWindows
+
+    rng = np.random.RandomState(0)
+    arr = rng.randn(200, 3, 5).astype(np.float32)
+    p = tmp_path / "x.npy"
+    np.save(p, arr)
+    mw = MmapWindows(p, window=16)
+    starts = np.array([0, 7, 100, 184])
+    assert np.array_equal(mw.gather(starts), np.stack([arr[s : s + 16] for s in starts]))
+    with pytest.raises(IndexError):
+        mw.gather(np.array([185]))
+    mw.close()
+
+
+def test_raw_streaming_cache_roundtrip(tmp_path):
+    from ssar_tpu.train.data import load_cached, write_raw_cache
+
+    rng = np.random.RandomState(1)
+    L = 8
+    track_lengths = [40, 25]
+    T = sum(track_lengths)
+    feats = rng.randn(T, 59).astype(np.float32)
+    lats = rng.randn(T, 18, 512).astype(np.float32)
+    noises = [rng.randn(T, s, s).astype(np.float32) for s in (4, 8, 16, 32)]
+    write_raw_cache(tmp_path, "train", feats, lats, noises, L, track_lengths)
+
+    ds = load_cached(tmp_path, "train")
+    # no window crosses the 40/25 track boundary
+    assert all(s + L <= 40 or s >= 40 for s in ds.starts)
+    f, l, n4, n8, n16, n32 = next(ds.batches(4, seed=0))
+    assert f.shape == (4, L, 59) and l.shape == (4, L, 18, 512) and n32.shape == (4, L, 32, 32)
+    # deterministic: same seed -> same batch, and content matches the source
+    f2, *_ = next(ds.batches(4, seed=0))
+    assert np.array_equal(f, f2)
+    s0 = ds.starts[np.random.RandomState(0).permutation(len(ds))[0]]
+    assert np.array_equal(f[0], feats[s0 : s0 + L])
