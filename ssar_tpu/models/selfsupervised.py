@@ -187,3 +187,45 @@ class PatchContrastor(nn.Module):
 def optax_softmax_cross_entropy(logits, labels):
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+
+# ----------------------------------------------------------- inference --
+def sslstm_features(audio: jax.Array, sr: int) -> jax.Array:
+    """The contrastive-LSTM input features: norm-normalised mfcc(19) +
+    chroma CENS(12) + onset strength(1) = (T, 32)
+    (ssar/selfsupervised/inference.py:37-46, train_sslstm.py input stack)."""
+    from ..audio import features as AF
+    from ..audio.beat import onset_strength
+
+    audio = jnp.asarray(audio, jnp.float32)
+    m = AF.mfcc(audio, sr, n_mfcc=19)
+    c = AF.chromagram(audio, sr)
+    o = onset_strength(AF.percussive(audio), sr)[:, None]
+    T = min(m.shape[0], c.shape[0], o.shape[0])
+    feats = [m[:T], c[:T], o[:T]]
+    return jnp.concatenate([f / (jnp.linalg.norm(f) + 1e-12) for f in feats], axis=1)
+
+
+def sslstm_inference(reactor, params, audio, sr: int, gan_params=None, gan_config=None,
+                     out_file: str | None = None, fps: int = 24, batch_size: int = 8,
+                     output_size=(256, 256), seed: int = 0):
+    """Trained LSTMReactor -> W+ sequence [-> rendered mp4]
+    (ssar/selfsupervised/inference.py:60-95).  Returns (w_seq, out_file)."""
+    feats = sslstm_features(audio, int(sr))[None]
+    motion_seed = jax.random.normal(jax.random.PRNGKey(seed), (1, reactor.hidden_size))
+    w_seq, _, _ = reactor.apply(params, feats, motion_seed)
+    w_seq = w_seq[0]
+
+    if out_file is not None and gan_params is not None:
+        from ..gan import stylegan2 as sg
+        from ..gan.render import render_latents_to_video
+        from ..gan.wrapper import StyleGAN2Synthesizer
+
+        syn = StyleGAN2Synthesizer(config=gan_config or sg.StyleGAN2Config())
+        syn.params = gan_params
+        n_lat = syn.config.n_latent
+        w = w_seq[:, :n_lat] if w_seq.shape[1] >= n_lat else jnp.concatenate(
+            [w_seq, jnp.repeat(w_seq[:, -1:], n_lat - w_seq.shape[1], axis=1)], axis=1)
+        render_latents_to_video(syn, w, None, out_file, fps=fps, batch_size=batch_size,
+                                output_size=output_size, progress=False)
+    return w_seq, out_file

@@ -336,3 +336,25 @@ def test_audioreactive_patch_api(rng, tmp_path):
     mod = ar.load_patch_module(str(patch))
     lats, _ = ar.render_patch(mod, audio, sr, palette=palette)
     assert lats.shape == (T, 18, 512)
+
+
+def test_sslstm_inference_renders(tmp_path, rng):
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.models.selfsupervised import LSTMReactor, sslstm_features, sslstm_inference
+
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
+    audio[:: sr // 2] += 1.0
+    feats = sslstm_features(audio, sr)
+    assert feats.shape == (48, 32)
+
+    reactor = LSTMReactor(hidden_size=8, num_layers=1, n_styles=8)
+    p = reactor.init({"params": jax.random.PRNGKey(0), "zoneout": jax.random.PRNGKey(1)},
+                     feats[None], jnp.zeros((1, 8)))
+    cfg = sg.StyleGAN2Config(resolution=32)
+    gp = sg.init_generator(jax.random.PRNGKey(2), cfg)
+    out_file = str(tmp_path / "out.mp4")
+    w, out = sslstm_inference(reactor, p, audio, sr, gan_params=gp, gan_config=cfg,
+                              out_file=out_file, output_size=(32, 32))
+    assert w.shape == (48, 8, 512)
+    assert (tmp_path / "out.mp4").stat().st_size > 0
