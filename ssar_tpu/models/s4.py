@@ -53,15 +53,27 @@ def s4d_conv(u: jax.Array, K: jax.Array, D: jax.Array) -> jax.Array:
 
 
 def s4d_step(state, u_t, log_dt, A_re, A_im, C_re, C_im, D):
-    """One recurrent step: state (..., H, N) complex, u_t (..., H) -> (state', y_t)."""
+    """One recurrent step.
+
+    state: (re, im) pair of (..., H, N) f32 — complex dtypes never touch the
+    eager path (the axon backend has no eager complex kernels) and the
+    split form runs as plain VPU math.  u_t (..., H) -> (state', y_t).
+    """
+    s_re, s_im = state
     dt = jnp.exp(log_dt)[:, None]
-    A = jax.lax.complex(A_re, A_im)
-    C = jax.lax.complex(C_re, C_im)
-    dA = jnp.exp(A * dt)
-    dB = (dA - 1.0) / A
-    state = state * dA + dB * u_t[..., None]
-    y = 2.0 * jnp.einsum("hn,...hn->...h", C, state).real + D * u_t
-    return state, y
+    mag = jnp.exp(A_re * dt)
+    dA_re = mag * jnp.cos(A_im * dt)
+    dA_im = mag * jnp.sin(A_im * dt)
+    # dB = (dA - 1) / A, complex division in components
+    denom = A_re**2 + A_im**2
+    dB_re = ((dA_re - 1.0) * A_re + dA_im * A_im) / denom
+    dB_im = (dA_im * A_re - (dA_re - 1.0) * A_im) / denom
+    n_re = s_re * dA_re - s_im * dA_im + dB_re * u_t[..., None]
+    n_im = s_re * dA_im + s_im * dA_re + dB_im * u_t[..., None]
+    # Re(C · s) = C_re*s_re - C_im*s_im
+    y = 2.0 * (jnp.einsum("hn,...hn->...h", C_re, n_re)
+               - jnp.einsum("hn,...hn->...h", C_im, n_im)) + D * u_t
+    return (n_re, n_im), y
 
 
 class S4DLayer(nn.Module):
@@ -105,23 +117,45 @@ class S4DLayer(nn.Module):
 
     def init_state(self, batch_shape=()):
         H, N = self.features, self.state_dim // 2
-        return jnp.zeros(batch_shape + (H, N), jnp.complex64)
+        z = jnp.zeros(batch_shape + (H, N), jnp.float32)
+        return (z, z)
 
 
 class S4Block(nn.Module):
     """Pre-norm residual S4D block with GLU output (the reference's block
-    structure, sashimi.py:213-300)."""
+    structure, sashimi.py:213-300).
+
+    ``step`` runs the same block recurrently for O(1)-per-frame streaming
+    (state = the S4D SSM state); exactness vs the FFT conv mode is covered
+    by tests/test_models.py."""
 
     features: int
     state_dim: int = 64
     dropout: float = 0.0
 
-    @nn.compact
+    def setup(self):
+        self.norm = nn.LayerNorm()
+        self.s4 = S4DLayer(self.features, self.state_dim)
+        self.out = nn.Dense(2 * self.features)
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm()(x)
-        h = S4DLayer(self.features, self.state_dim)(h)
+        h = self.norm(x)
+        h = self.s4(h)
         h = nn.gelu(h)
-        h = nn.Dense(2 * self.features)(h)
+        h = self.out(h)
         h = nn.glu(h, axis=-1)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = self.drop(h, deterministic=deterministic)
         return x + h
+
+    def step(self, state, x_t):
+        """x_t (B, H) -> (state', y_t (B, H))."""
+        h = self.norm(x_t)
+        state, h = self.s4.step(state, h)
+        h = nn.gelu(h)
+        h = self.out(h)
+        h = nn.glu(h, axis=-1)
+        return state, x_t + h
+
+    def init_state(self, batch_shape=()):
+        return self.s4.init_state(batch_shape)

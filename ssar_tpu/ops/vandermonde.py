@@ -33,7 +33,10 @@ def _vandermonde_kernel(a_ref, b_ref, cre_ref, cim_ref, out_ref):
     """Block: a/b/cre/cim (H_BLK, N); out (H_BLK, L_BLK)."""
     jL = pl.program_id(1)
     L_BLK = out_ref.shape[1]
-    l = (jL * L_BLK + jax.lax.broadcasted_iota(jnp.float32, (1, 1, L_BLK), 2))
+    # Mosaic requires integer iota; cast after (f32 iota verifies only in
+    # interpret mode)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L_BLK), 2)
+    l = (jL * L_BLK + idx).astype(jnp.float32)
 
     a = a_ref[:][:, :, None]      # (H, N, 1)
     b = b_ref[:][:, :, None]

@@ -63,7 +63,8 @@ def test_s4d_conv_matches_step(rng):
 
     p = params["params"]
     A_re = -jnp.exp(jnp.log(-jnp.minimum(p["A_re"], -1e-4)))
-    state = jnp.zeros((H, N // 2), jnp.complex64)
+    z = jnp.zeros((H, N // 2), jnp.float32)
+    state = (z, z)  # (re, im) split state — no complex dtypes on device
     ys = []
     for t in range(L):
         state, y = s4d_step(state, u[0, t], p["log_dt"], A_re, p["A_im"], p["C_re"], p["C_im"], p["D"])
@@ -186,3 +187,16 @@ def test_selfsupervised_and_ssabsdiff_steps(rng):
         step, _ = make_train_step(model, opt, mode)
         p2, _, loss, _ = step(params, opt.init(params), batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(loss)), mode
+
+
+def test_sashimi_streaming_matches_conv(rng):
+    from ssar_tpu.models.sashimi import Sashimi, SashimiStreamer
+
+    B, T, H = 2, 32, 8
+    model = Sashimi(features=H, n_layers_per_tier=1, n_tiers=2, pool=2, state_dim=8)
+    x = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(params, x)
+    streamer = SashimiStreamer(model, params, batch_size=B)
+    ys = jnp.stack([streamer.step(x[:, t]) for t in range(T)], axis=1)
+    assert float(jnp.abs(ref - ys).max()) < 1e-4
