@@ -29,3 +29,4 @@ from .ood import compute as compute_ood
 from .ood import frechet_distance, kernel_distance, prdc
 from .rhythmic import percentile_clip, rhythmic_reactivity
 from .sectional import evaluate_file, evaluate_reactivity
+from .study import av_feature_study

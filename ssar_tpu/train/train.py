@@ -216,6 +216,19 @@ def main(argv=None):
                     break
             val_loss = vl / max(n, 1)
             writer.scalar("Loss/val", val_loss, it)
+            try:  # eval-time autocorrelation diagnostics (ssar/train.py:118-146)
+                from ..utils.plot import autocorrelation_grid
+
+                vb = next(val_ds.batches(min(args.batch_size, 4), shuffle=False))
+                lat, _ = model.apply(params, jnp.asarray(vb[0]),
+                                     rngs={"noise": jax.random.PRNGKey(0)})
+                autocorrelation_grid(
+                    {"inputs": np.asarray(vb[0][0]),
+                     "latents": np.asarray(lat[0]).reshape(lat.shape[1], -1),
+                     "targets": np.asarray(vb[1][0]).reshape(vb[1].shape[1], -1)},
+                    str(log_dir / f"diagnostics_{it:08d}.png"))
+            except Exception as e:  # diagnostics never kill training
+                print(f"diagnostics skipped: {e}")
             rate = (it + args.batch_size) / (time.time() - t0)
             print(f"iter {it}  train {np.mean(losses):.4f}  val {val_loss:.4f}  {rate:.1f} ex/s")
             losses = []

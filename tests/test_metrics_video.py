@@ -189,3 +189,17 @@ def test_lucas_kanade_pyramid_recovers_shift(rng):
     inner = f[12:-12, 12:-12]
     assert abs(inner[..., 0].mean() + 3.0) < 0.5  # x displacement ~ -3
     assert abs(inner[..., 1].mean()) < 0.3
+
+
+def test_av_feature_study(tmp_path, rng):
+    from ssar_tpu.metrics.study import av_feature_study
+
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
+    audio[:: sr // 2] += 1.0
+    video = rng.rand(48, 3, 32, 32).astype(np.float32)
+    recs = av_feature_study([("c", audio, sr, video)], out_dir=str(tmp_path))
+    assert len(recs) == 9 * 12 * 3
+    assert np.isfinite([r["value"] for r in recs]).all()
+    assert (tmp_path / "av_study.csv").exists()
+    assert (tmp_path / "av_study_rv2.png").stat().st_size > 0
