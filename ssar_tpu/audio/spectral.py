@@ -64,9 +64,22 @@ def istft(spec: jax.Array, n_fft: int = 2048, hop_length: int = 1024, center: bo
 
     n_frames = frames.shape[0]
     out_len = (n_frames - 1) * hop_length + n_fft
-    idx = (jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]).reshape(-1)
-    y = jnp.zeros(out_len, frames.dtype).at[idx].add(frames.reshape(-1))
-    env = jnp.zeros(out_len, frames.dtype).at[idx].add(jnp.broadcast_to(win**2, (n_frames, n_fft)).reshape(-1))
+    if 2 * hop_length == n_fft:
+        # 50% overlap: overlap-add is two interleaved half-frames — pure
+        # reshape+add instead of a scatter (slow path on TPU)
+        first, second = frames[:, :hop_length], frames[:, hop_length:]
+        blocks = first.at[1:].add(second[:-1])
+        y = jnp.concatenate([blocks.reshape(-1), second[-1]])
+        w2 = win.astype(frames.dtype) ** 2
+        env_mid = w2[:hop_length] + w2[hop_length:]
+        env = jnp.concatenate([w2[:hop_length][None],
+                               jnp.broadcast_to(env_mid, (n_frames - 1, hop_length))]).reshape(-1)
+        env = jnp.concatenate([env, w2[hop_length:]])
+    else:
+        idx = (jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]).reshape(-1)
+        y = jnp.zeros(out_len, frames.dtype).at[idx].add(frames.reshape(-1))
+        env = jnp.zeros(out_len, frames.dtype).at[idx].add(
+            jnp.broadcast_to(win**2, (n_frames, n_fft)).reshape(-1))
     y = y / jnp.where(env > 1e-11, env, 1.0)
 
     if center:
