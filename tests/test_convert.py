@@ -69,3 +69,58 @@ def test_rosinality_roundtrip(rng):
     img_b = sg.synthesis(restored, sg.w_to_wplus(sg.mapping(restored, z, CFG), CFG), noises, CFG)
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(restored["w_avg"]), np.asarray(params["w_avg"]))
+
+
+def test_nvidia_pkl_structural_roundtrip(tmp_path):
+    """Build an ada-pytorch-shaped snapshot from our random init (inverse
+    layout transposes), load it through the stub unpickler, and require the
+    recovered pytree to match the original exactly."""
+    import pickle
+
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.gan.convert import load_nvidia_pkl
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    ref = sg.init_generator(jax.random.PRNGKey(0), cfg)
+
+    def inv_conv(w):  # (kh, kw, in, out) -> ada (out, in, kh, kw)
+        return np.asarray(w).transpose(3, 2, 0, 1)
+
+    def mod_params(p, with_noise=True):
+        d = {"weight": np.asarray(p["weight"]).T if False else inv_conv(p["weight"]),
+             "bias": np.asarray(p["bias"]),
+             "affine.weight": np.asarray(p["mod"]["weight"]).T,
+             "affine.bias": np.asarray(p["mod"]["bias"])}
+        if with_noise:
+            d["noise_strength"] = np.asarray(p["noise_weight"])
+        return d
+
+    flat = {"synthesis.b4.const": np.asarray(ref["const"]).transpose(2, 0, 1),
+            "mapping.w_avg": np.asarray(ref["w_avg"])}
+    for i, lay in enumerate(ref["mapping"]):
+        flat[f"mapping.fc{i}.weight"] = np.asarray(lay["weight"]).T
+        flat[f"mapping.fc{i}.bias"] = np.asarray(lay["bias"])
+    for name, p in [("synthesis.b4.conv1", ref["conv1"])]:
+        for k, v in mod_params(p).items():
+            flat[f"{name}.{k}"] = v
+    for k, v in mod_params(ref["to_rgb1"], with_noise=False).items():
+        flat[f"synthesis.b4.torgb.{k}"] = v
+    for i in range(3, cfg.log_size + 1):
+        res = 2**i
+        c0, c1 = ref["convs"][(i - 3) * 2], ref["convs"][(i - 3) * 2 + 1]
+        for k, v in mod_params(c0).items():
+            flat[f"synthesis.b{res}.conv0.{k}"] = v
+        for k, v in mod_params(c1).items():
+            flat[f"synthesis.b{res}.conv1.{k}"] = v
+        for k, v in mod_params(ref["to_rgbs"][i - 3], with_noise=False).items():
+            flat[f"synthesis.b{res}.torgb.{k}"] = v
+
+    path = tmp_path / "net.pkl"
+    path.write_bytes(pickle.dumps({"G_ema": {"state": flat}}))
+
+    got = load_nvidia_pkl(str(path), cfg)
+    ra = {jax.tree_util.keystr(p): v for p, v in jax.tree.flatten_with_path(ref)[0]}
+    ga = {jax.tree_util.keystr(p): v for p, v in jax.tree.flatten_with_path(got)[0]}
+    assert set(ra) == set(ga)
+    for k in ra:
+        assert np.allclose(np.asarray(ra[k]), np.asarray(ga[k])), k
