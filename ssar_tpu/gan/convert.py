@@ -8,9 +8,10 @@ The reference loads both NVIDIA ``.pkl`` pickles (via maua) and rosinality
   layers store weights identically to regular convs in rosinality
   (the transpose happens at call time), so no extra flip is needed here.
 - native ``.npz``: flat `path -> array` dict of our own pytree.
-- NVIDIA ``.pkl``: requires unpickling NVIDIA's class definitions; not
-  supported in-image (zero-egress, no dnnlib).  Convert externally to
-  rosinality format first.
+- NVIDIA ``.pkl`` (stylegan2-ada-pytorch): stub unpickler reconstructs
+  torch_utils.persistence objects as metadata dicts (no embedded-source
+  execution) and maps ada naming/layouts onto our pytree
+  (``load_nvidia_pkl``).
 """
 from __future__ import annotations
 

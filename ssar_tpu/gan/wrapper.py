@@ -42,6 +42,10 @@ def load_params(model_file: str | None, config: sg.StyleGAN2Config, seed: int = 
         from .convert import load_npz
 
         return load_npz(model_file)
+    if str(model_file).endswith(".pkl"):
+        from .convert import load_nvidia_pkl
+
+        return load_nvidia_pkl(model_file, config)
     raise ValueError(f"unsupported checkpoint format: {model_file}")
 
 
