@@ -203,3 +203,25 @@ def test_av_feature_study(tmp_path, rng):
     assert np.isfinite([r["value"] for r in recs]).all()
     assert (tmp_path / "av_study.csv").exists()
     assert (tmp_path / "av_study_rv2.png").stat().st_size > 0
+
+
+def test_metric_sensitivity_study(rng, tmp_path):
+    from ssar_tpu.metrics.rhythmic import dtw_distance, metric_sensitivity_study
+
+    T = 96
+    ons = np.clip(rng.rand(T) ** 3, 0, 1)
+    env_sets = {"matched": np.stack([ons + 0.05 * rng.randn(T) for _ in range(3)]),
+                "random": rng.rand(3, T)}
+    recs = metric_sensitivity_study(ons, env_sets, strengths=4, out_dir=str(tmp_path))
+    assert np.isfinite([r["mean"] for r in recs]).all()
+    assert (tmp_path / "metric_sensitivity.csv").exists()
+    cos_m = np.mean([r["mean"] for r in recs
+                     if r["metric"] == "cos" and r["transform"] == "power"
+                     and r["envelope_set"] == "matched"])
+    cos_r = np.mean([r["mean"] for r in recs
+                     if r["metric"] == "cos" and r["transform"] == "power"
+                     and r["envelope_set"] == "random"])
+    assert cos_m > cos_r
+    # dtw: identical sequences -> 0; different -> positive
+    assert dtw_distance(ons, ons) == 0.0
+    assert dtw_distance(ons, ons[::-1]) > 0.0
