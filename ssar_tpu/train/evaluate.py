@@ -60,8 +60,16 @@ def load_checkpoint(run_dir: str, step: int | None = None):
     F = 59
     palette = None
     if kw.get("decoder", "learned") == "fixed":
-        palette = jax.random.normal(jax.random.PRNGKey(0),
-                                    (kw["n_latent_split"] * kw["hidden_size"], 18, 512))
+        # the palette is a frozen constant NOT stored in the checkpoint —
+        # reconstruct it exactly as train.py does (mapper over
+        # RandomState(42) z's, train.py:153-159) or decoding is garbage
+        from ..gan.wrapper import StyleGAN2Mapper
+
+        mapper = StyleGAN2Mapper(seed=0)
+        z = np.random.RandomState(42).randn(
+            kw["n_latent_split"] * kw["hidden_size"], 512).astype(np.float32)
+        palette = jnp.asarray(mapper(z))
+        del mapper
     model = LatentNoiseReactor(jnp.zeros(F), jnp.ones(F), palette, **kw)
     return model, params, cfg
 

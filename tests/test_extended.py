@@ -358,3 +358,21 @@ def test_sslstm_inference_renders(tmp_path, rng):
                               out_file=out_file, output_size=(32, 32))
     assert w.shape == (48, 8, 512)
     assert (tmp_path / "out.mp4").stat().st_size > 0
+
+
+def test_fixed_decoder_checkpoint_palette_parity(tmp_path):
+    """The fixed-decoder palette is a frozen constant outside the checkpoint;
+    load_checkpoint must reconstruct exactly the palette train.py built."""
+    from ssar_tpu.gan.wrapper import StyleGAN2Mapper
+    from ssar_tpu.train.evaluate import load_checkpoint
+    from ssar_tpu.train.train import main as train_main
+
+    d1, _ = train_main(["--smoke", "--decoder", "fixed", "--backbone", "mlp",
+                        "--num_layers", "1", "--hidden_size", "3", "--n_examples", "32",
+                        "--eval_every", "16", "--ckpt_every", "32", "--out_dir", str(tmp_path)])
+    model, params, _ = load_checkpoint(str(d1))
+    lat, _ = model.apply(params, jnp.zeros((1, 24, 59)), rngs={"noise": jax.random.PRNGKey(0)})
+    assert np.isfinite(np.asarray(lat)).all()
+    mapper = StyleGAN2Mapper(seed=0)
+    z = np.random.RandomState(42).randn(9, 512).astype(np.float32)
+    assert np.allclose(np.asarray(model.latents), np.asarray(mapper(z)))
