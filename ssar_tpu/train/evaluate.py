@@ -58,6 +58,11 @@ def load_checkpoint(run_dir: str, step: int | None = None):
                   dropout=m.dropout)
 
     F = 59
+    if (run_dir / "input_mean.npy").exists():
+        mean = jnp.asarray(np.load(run_dir / "input_mean.npy"))
+        std = jnp.asarray(np.load(run_dir / "input_std.npy"))
+    else:  # older runs: identity normalisation
+        mean, std = jnp.zeros(F), jnp.ones(F)
     palette = None
     if kw.get("decoder", "learned") == "fixed":
         # the palette is a frozen constant NOT stored in the checkpoint —
@@ -70,7 +75,7 @@ def load_checkpoint(run_dir: str, step: int | None = None):
             kw["n_latent_split"] * kw["hidden_size"], 512).astype(np.float32)
         palette = jnp.asarray(mapper(z))
         del mapper
-    model = LatentNoiseReactor(jnp.zeros(F), jnp.ones(F), palette, **kw)
+    model = LatentNoiseReactor(mean, std, palette, **kw)
     return model, params, cfg
 
 

@@ -178,6 +178,10 @@ def main(argv=None):
     log_dir = Path(args.out_dir) / f"{name}_{int(time.time())}"
     writer = MetricsWriter(log_dir)
     (log_dir / "config.json").write_text(json.dumps(vars(args)))
+    # stats are model constants outside the checkpoint — persist them so
+    # load_checkpoint restores the exact normalisation
+    np.save(log_dir / "input_mean.npy", np.asarray(mean))
+    np.save(log_dir / "input_std.npy", np.asarray(std))
     print(f"model: {n_params/1e3:.1f}K params -> {log_dir}")
 
     import orbax.checkpoint as ocp
