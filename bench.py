@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_render(resolution=1024, batch_size=16, iters=8):
+def bench_render(resolution=1024, batch_size=32, iters=8):
     from ssar_tpu.gan import stylegan2 as sg
 
     cfg = sg.StyleGAN2Config(resolution=resolution)

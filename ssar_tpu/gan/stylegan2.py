@@ -215,6 +215,63 @@ def to_rgb(p: dict, x: jax.Array, w: jax.Array, skip: jax.Array | None = None,
     return out
 
 
+def _style_demod(p: dict, w: jax.Array, demodulate: bool = True):
+    """(style (B, cin), demod (B, cout) | None, scaled kernel fn inputs)."""
+    weight = p["weight"]
+    kh, kw, cin, cout = weight.shape
+    wscale = 1.0 / np.sqrt(cin * kh * kw)
+    style = equal_linear(p["mod"], w)
+    demod = None
+    if demodulate:
+        w2 = jnp.sum((weight.astype(jnp.float32) * wscale) ** 2, axis=(0, 1))
+        demod = jax.lax.rsqrt(
+            jnp.matmul(style.astype(jnp.float32) ** 2, w2, precision=HIGHEST) + 1e-8)
+    return style, demod, weight * wscale
+
+
+def _final_level_s2d(pu: dict, pc: dict, pr: dict, x: jax.Array, wu, wc, wr,
+                     nu, nc, skip: jax.Array, blur_kernel, dtype) -> jax.Array:
+    """One whole resolution level (up-conv, conv, to_rgb + skip) computed in
+    space-to-depth form (gan/s2d.py): activations stay (B, H/2, W/2, 4C) so
+    the low channel counts at high resolution don't lane-pad every pass.
+    Numerically equal to the full-resolution formulation (tests/test_gan.py).
+    Returns the new full-resolution skip image."""
+    from .s2d import (conv1x1_s2d_kernel, conv3x3_s2d, depth_to_space, noise_to_s2d,
+                      repeat4, upconv_blur_s2d, upsample2x_s2d)
+
+    blur = make_blur_kernel(blur_kernel) * 4.0  # numpy: stays a jit constant
+
+    # up conv (modulated)
+    style, demod, kernel = _style_demod(pu, wu)
+    xs = (x * style[:, None, None, :]).astype(dtype)
+    h = upconv_blur_s2d(xs, kernel.astype(dtype), blur)
+    h = h * repeat4(demod)[:, None, None, :].astype(h.dtype)
+    if nu is not None:
+        n4 = noise_to_s2d(nu.astype(h.dtype))  # (B, H, W, 4)
+        h = h + pu["noise_weight"].astype(h.dtype) * jnp.tile(n4, (1, 1, 1, h.shape[-1] // 4))
+    h = fused_leaky_relu(h, repeat4(pu["bias"]).astype(h.dtype))
+
+    # regular conv (modulated)
+    style2, demod2, kernel2 = _style_demod(pc, wc)
+    xs2 = h * repeat4(style2)[:, None, None, :].astype(h.dtype)
+    h = conv3x3_s2d(xs2, kernel2.astype(dtype))
+    h = h * repeat4(demod2)[:, None, None, :].astype(h.dtype)
+    if nc is not None:
+        n4 = noise_to_s2d(nc.astype(h.dtype))
+        h = h + pc["noise_weight"].astype(h.dtype) * jnp.tile(n4, (1, 1, 1, h.shape[-1] // 4))
+    h = fused_leaky_relu(h, repeat4(pc["bias"]).astype(h.dtype))
+
+    # to_rgb (no demod) + upsampled skip, still in s2d
+    style3, _, kernel3 = _style_demod(pr, wr, demodulate=False)
+    xs3 = h * repeat4(style3)[:, None, None, :].astype(h.dtype)
+    k1 = conv1x1_s2d_kernel(kernel3.astype(dtype))
+    rgb = jax.lax.conv_general_dilated(xs3, k1, (1, 1), "SAME",
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    rgb = rgb + repeat4(pr["bias"]).astype(rgb.dtype)
+    rgb = rgb + upsample2x_s2d(skip.astype(dtype), blur)
+    return depth_to_space(rgb)
+
+
 def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
               config: StyleGAN2Config, *, dtype=jnp.float32, output_size: int | None = None,
               return_features: bool = False):
@@ -238,9 +295,20 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
     if output_size is not None and output_size == 4:
         return (skip.astype(jnp.float32), feats) if return_features else skip.astype(jnp.float32)
 
+    target_res = min(output_size or config.resolution, config.resolution)
     i = 1
     for level, (conv_up, conv) in enumerate(zip(params["convs"][::2], params["convs"][1::2])):
         res = 2 ** (level + 3)
+        out_ch = conv["weight"].shape[-1]
+        if res == target_res and res >= 8 and out_ch < 128 and not return_features:
+            # final level in space-to-depth form: low channel counts at high
+            # resolution otherwise lane-pad every pass (gan/s2d.py)
+            skip = _final_level_s2d(conv_up, conv, params["to_rgbs"][level], x,
+                                    latents[:, i], latents[:, i + 1], latents[:, i + 2],
+                                    noises[i], noises[i + 1], skip,
+                                    config.blur_kernel, dtype)
+            i += 2
+            break
         x = styled_conv(conv_up, x, latents[:, i], noises[i], up=True, dtype=dtype)
         x = styled_conv(conv, x, latents[:, i + 1], noises[i + 1], dtype=dtype)
         feats.append(x)

@@ -169,3 +169,52 @@ def test_npz_save_load_roundtrip(rng):
     z = jnp.asarray(rng.randn(1, 512).astype(np.float32))
     np.testing.assert_allclose(np.asarray(sg.generate(params, z, CFG)),
                                np.asarray(sg.generate(p2, z, CFG)), rtol=1e-5, atol=1e-6)
+
+
+def test_s2d_level_matches_full_path(rng):
+    """The space-to-depth final level must equal the full-resolution
+    formulation exactly (gan/s2d.py kernel builders)."""
+    from ssar_tpu.gan import stylegan2 as sg
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    orig = sg.StyleGAN2Config.channels
+    try:
+        sg.StyleGAN2Config.channels = lambda self: {4: 16, 8: 16, 16: 16, 32: 16}
+        params = sg.init_generator(jax.random.PRNGKey(0), cfg)
+        lat = jnp.asarray(rng.randn(2, cfg.n_latent, 512).astype(np.float32))
+        noises = [jnp.asarray(rng.randn(2, h, w, 1).astype(np.float32))
+                  for h, w in cfg.noise_shapes()]
+        out_s2d = sg.synthesis(params, lat, noises, cfg)  # gated s2d (out_ch=16)
+        out_full = sg.synthesis(params, lat, noises, cfg, return_features=True)[0]
+        assert float(jnp.abs(out_s2d - out_full).max()) < 1e-4
+    finally:
+        sg.StyleGAN2Config.channels = orig
+
+
+def test_s2d_builders_match_full_ops(rng):
+    from ssar_tpu.gan.s2d import (conv3x3_s2d, depth_to_space, space_to_depth,
+                                  upconv_blur_s2d, upsample2x_s2d)
+    from ssar_tpu.ops.upfirdn import make_blur_kernel, upfirdn2d, upsample2x
+
+    B, H, Ci, Co = 2, 8, 5, 7
+    x = jnp.asarray(rng.randn(B, H, H, Ci).astype(np.float32))
+    K3 = jnp.asarray(rng.randn(3, 3, Ci, Co).astype(np.float32))
+    blur_np = make_blur_kernel((1, 3, 3, 1)) * 4.0
+
+    z = jnp.asarray(rng.randn(B, 2 * H, 2 * H, Ci).astype(np.float32))
+    assert jnp.allclose(depth_to_space(space_to_depth(z)), z)
+
+    ref_t = jax.lax.conv_transpose(x, K3.swapaxes(2, 3), (2, 2), "VALID",
+                                   dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                                   transpose_kernel=True)
+    ref = upfirdn2d(ref_t, jnp.asarray(blur_np), pad=(1, 1))
+    got = depth_to_space(upconv_blur_s2d(x, K3, blur_np))
+    assert float(jnp.abs(ref - got).max()) < 1e-4
+
+    ref2 = jax.lax.conv_general_dilated(z, K3, (1, 1), "SAME",
+                                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert float(jnp.abs(ref2 - depth_to_space(conv3x3_s2d(space_to_depth(z), K3))).max()) < 1e-4
+
+    ref3 = upsample2x(x)
+    got3 = depth_to_space(upsample2x_s2d(x, jnp.asarray(blur_np)))
+    assert float(jnp.abs(ref3 - got3).max()) < 1e-5
