@@ -64,7 +64,20 @@ def istft(spec: jax.Array, n_fft: int = 2048, hop_length: int = 1024, center: bo
 
     n_frames = frames.shape[0]
     out_len = (n_frames - 1) * hop_length + n_fft
-    if 2 * hop_length == n_fft:
+    if hop_length == 1:
+        # hop-1 overlap-add (the PLP inverse-tempogram path): the scatter is
+        # y[m] = sum_k frames[m - k, k], which is ONE dense conv with a
+        # delta kernel W[tap, in=k, out] = [tap == k] — an MXU pass instead
+        # of a 370k-element scatter.
+        T = n_frames
+        W = jnp.eye(n_fft, dtype=frames.dtype)[::-1][:, :, None]  # (tap, in, 1)
+        fp = jnp.pad(frames, ((n_fft - 1, n_fft - 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            fp[None], W, (1,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"))[0, :, 0]
+        w2 = win.astype(frames.dtype) ** 2
+        env = jnp.convolve(jnp.ones(T, frames.dtype), w2, mode="full")
+    elif 2 * hop_length == n_fft:
         # 50% overlap: overlap-add is two interleaved half-frames — pure
         # reshape+add instead of a scatter (slow path on TPU)
         first, second = frames[:, :hop_length], frames[:, hop_length:]
