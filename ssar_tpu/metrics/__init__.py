@@ -27,6 +27,6 @@ from .comparison import (
 from .context_fid import CausalCNNEncoder, context_fid, train_encoder
 from .ood import compute as compute_ood
 from .ood import frechet_distance, kernel_distance, prdc
-from .rhythmic import percentile_clip, rhythmic_reactivity
+from .rhythmic import dtw_distance, metric_sensitivity_study, percentile_clip, rhythmic_reactivity
 from .sectional import evaluate_file, evaluate_reactivity
 from .study import av_feature_study
