@@ -269,7 +269,7 @@ def _final_level_s2d(pu: dict, pc: dict, pr: dict, x: jax.Array, wu, wc, wr,
                                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     rgb = rgb + repeat4(pr["bias"]).astype(rgb.dtype)
     rgb = rgb + upsample2x_s2d(skip.astype(dtype), blur)
-    return depth_to_space(rgb)
+    return h, rgb  # both in s2d (channel = c*4 + phase)
 
 
 def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
@@ -301,12 +301,18 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
         res = 2 ** (level + 3)
         out_ch = conv["weight"].shape[-1]
         if res == target_res and res >= 8 and out_ch < 128 and not return_features:
-            # final level in space-to-depth form: low channel counts at high
-            # resolution otherwise lane-pad every pass (gan/s2d.py)
-            skip = _final_level_s2d(conv_up, conv, params["to_rgbs"][level], x,
-                                    latents[:, i], latents[:, i + 1], latents[:, i + 2],
-                                    noises[i], noises[i + 1], skip,
-                                    config.blur_kernel, dtype)
+            # FINAL level in space-to-depth form: low channel counts at high
+            # resolution otherwise lane-pad every pass (gan/s2d.py).
+            # (Chaining earlier levels through s2d measured SLOWER — the
+            # depth-to-space handoff passes outweigh the savings.)
+            from .s2d import depth_to_space
+
+            _, rgb_s2d = _final_level_s2d(conv_up, conv, params["to_rgbs"][level], x,
+                                          latents[:, i], latents[:, i + 1],
+                                          latents[:, i + 2],
+                                          noises[i], noises[i + 1], skip,
+                                          config.blur_kernel, dtype)
+            skip = depth_to_space(rgb_s2d)
             i += 2
             break
         x = styled_conv(conv_up, x, latents[:, i], noises[i], up=True, dtype=dtype)
