@@ -19,6 +19,11 @@ HELP = """commands:
   reroll <i>      re-draw latent subpatch i
   rerollnoise <i> re-draw noise subpatch i
   segments <a,b,c> manual section boundaries (frames) for all features
+  permute          shuffle latent subpatch order
+  permutenoise     shuffle noise subpatch order
+  palette          draw a fresh latent palette (random_latent_vectors)
+  permutepalette   shuffle the current palette rows
+  revert           undo the last patch edit
   show            print the current patch
   render [secs]   render a preview clip
   save <path> / load <path>
@@ -44,13 +49,55 @@ class InteractiveSession:
         self.features, self.segmentations, self.tempo = retrieve_music_information(
             jnp.asarray(audio), sr)
         self.seed = seed
+        self.palette = None
+        self._history: list = []
         self._make_patch()
 
     def _make_patch(self):
         self.patch = Patch(self.features, self.segmentations, self.tempo,
                            seed=self.seed, fps=self.fps)
 
+    def _checkpoint(self):
+        import copy
+
+        self._history.append((copy.deepcopy(self.patch.latent_patches),
+                              copy.deepcopy(self.patch.noise_patches), self.palette))
+
     # ------------------------------------------------------- commands ----
+    def cmd_revert(self):
+        """Undo the last edit (interactive.py:227-229)."""
+        if not self._history:
+            print("nothing to revert")
+            return
+        lat, noi, pal = self._history.pop()
+        self.patch.latent_patches, self.patch.noise_patches, self.palette = lat, noi, pal
+
+    def cmd_permute(self, noise: bool = False):
+        """Shuffle subpatch order (interactive.py permute_*_patches)."""
+        self._checkpoint()
+        rng = np.random.RandomState(self.seed)
+        if noise:
+            order = rng.permutation(len(self.patch.noise_patches))
+            self.patch.noise_patches = [self.patch.noise_patches[j] for j in order]
+        else:
+            order = rng.permutation(len(self.patch.latent_patches))
+            self.patch.latent_patches = [self.patch.latent_patches[j] for j in order]
+
+    def cmd_palette(self, permute: bool = False, n: int = 180):
+        """Fresh random W+ palette, or shuffle the current one
+        (interactive.py random/permute_latent_vectors)."""
+        if self.G is None:
+            print("no generator attached — pass G= to InteractiveSession")
+            return
+        self._checkpoint()
+        if permute and self.palette is not None:
+            order = np.random.RandomState(self.seed).permutation(self.palette.shape[0])
+            self.palette = self.palette[order]
+        else:
+            self.seed += 1
+            z = jax.random.normal(jax.random.PRNGKey(self.seed), (n, 512))
+            self.palette = self.G.mapper(z)
+
     def cmd_seed(self, n: int):
         self.seed = int(n)
         self._make_patch()
@@ -61,6 +108,7 @@ class InteractiveSession:
     def cmd_reroll(self, i: int, noise: bool = False):
         from .patch import KeyGen
 
+        self._checkpoint()
         kg = KeyGen(self.seed + 1000 + i)
         if noise:
             self.patch.noise_patches[i] = self.patch._random_noise_patch(kg)
@@ -110,6 +158,16 @@ class InteractiveSession:
                     self.cmd_reroll(int(args[0]), noise=True)
                 elif cmd == "segments":
                     self.cmd_segments([int(x) for x in args[0].split(",")])
+                elif cmd == "permute":
+                    self.cmd_permute()
+                elif cmd == "permutenoise":
+                    self.cmd_permute(noise=True)
+                elif cmd == "palette":
+                    self.cmd_palette()
+                elif cmd == "permutepalette":
+                    self.cmd_palette(permute=True)
+                elif cmd == "revert":
+                    self.cmd_revert()
                 elif cmd == "show":
                     print(self.patch)
                 elif cmd == "render":

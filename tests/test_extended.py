@@ -376,3 +376,22 @@ def test_fixed_decoder_checkpoint_palette_parity(tmp_path):
     mapper = StyleGAN2Mapper(seed=0)
     z = np.random.RandomState(42).randn(9, 512).astype(np.float32)
     assert np.allclose(np.asarray(model.latents), np.asarray(mapper(z)))
+
+
+def test_interactive_session_commands(rng):
+    from ssar_tpu.generate.interactive import InteractiveSession
+
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
+    audio[:: sr // 2] += 1.0
+    s = InteractiveSession(audio, sr)
+    before = [repr(p) for p in s.patch.latent_patches]
+    s.cmd_permute()
+    after = [repr(p) for p in s.patch.latent_patches]
+    assert sorted(before) == sorted(after)  # same patches, maybe new order
+    s.cmd_reroll(0)
+    s.cmd_revert()
+    s.cmd_revert()
+    assert [repr(p) for p in s.patch.latent_patches] == before
+    s.cmd_intensity(0.9)
+    s.cmd_segments([8, 16])
