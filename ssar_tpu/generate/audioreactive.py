@@ -48,12 +48,59 @@ from .latent import spline_loop_latents
 
 __all__ = [
     "compress", "expand", "normalize", "percentile_clip", "gaussian_filter",
-    "onsets", "volume", "chroma", "tonnetz", "pitch_track", "tempo",
+    "onsets", "volume", "rms", "chroma", "tonnetz", "pitch_track", "tempo",
+    "laplacian_segmentation",
+    "load_audio", "load_latents", "generate_latents", "wrapping_slice",
+    "perlin_noise", "plot_signals", "plot_spectra",
     "slerp_loops", "spline_loops", "gaussian_loops", "constant_loops",
     "ModulatedLatents", "ModulatedNoise", "PitchTrackLatents",
     "TempoLoopLatents", "TempoLoopNoise", "TonalLatents", "TonalNoise",
+    "chroma_weight_latents",
     "RandomPatch", "render_patch", "load_patch_module",
 ]
+
+
+# ---------------------------------------------------------------- loading --
+def load_audio(audio_file: str, offset: float = 0.0, duration: float | None = None):
+    """Mono waveform slice -> (audio, sr, duration_seconds).
+
+    The three-tuple matches the reference patches' idiom
+    ``audio, sr, dur = ar.load_audio(path, offset, duration)``
+    (ssar/patches/examples/01_intro.py:8-16) so stem files
+    (``drums.wav`` / ``bass.wav`` / ``other.wav``) drop straight in."""
+    from ..train.data import load_audio as _load
+
+    audio, sr = _load(audio_file)
+    audio = audio[int(offset * sr):]
+    if duration is not None:
+        audio = audio[: int(duration * sr)]
+    return jnp.asarray(audio, jnp.float32), int(sr), audio.shape[-1] / sr
+
+
+def load_latents(path: str) -> jax.Array:
+    """(K, n_ws, 512) W+ keyframe selection from a .npy/.npz file
+    (ar.load_latents; the reference patches' saved palette workflow)."""
+    arr = np.load(path, allow_pickle=False)
+    if hasattr(arr, "files"):  # npz: first array wins
+        arr = arr[arr.files[0]]
+    return jnp.asarray(arr, jnp.float32)
+
+
+def generate_latents(n_latents: int, model_file: str | None = None, seed: int = 0,
+                     gan_config=None) -> jax.Array:
+    """Sample n fresh W+ keyframes through the mapper (ar.generate_latents)."""
+    from ..gan.wrapper import StyleGAN2Mapper
+
+    mapper = StyleGAN2Mapper(model_file=model_file, config=gan_config)
+    return mapper(jax.random.normal(jax.random.PRNGKey(seed), (n_latents, 512)))
+
+
+def wrapping_slice(tensor, start: int, length: int, dim: int = 0):
+    """Length-``length`` slice starting at ``start`` that wraps around the
+    end of ``tensor`` along ``dim`` (ar.wrapping_slice)."""
+    tensor = jnp.asarray(tensor)
+    idx = jnp.mod(jnp.arange(start, start + length), tensor.shape[dim])
+    return jnp.take(tensor, idx, axis=dim)
 
 
 # ------------------------------------------------------------ signal ops --
@@ -104,6 +151,40 @@ def volume(audio: jax.Array, sr: int, n_frames: int, smooth: float = 1.0) -> jax
     if smooth:
         env = gaussian_filter(env, smooth)
     return normalize(env)
+
+
+def rms(audio: jax.Array, sr: int, n_frames: int, fmin: float | None = None,
+        fmax: float | None = None, smooth: float = 1.0, clip: float | None = None,
+        power: float = 1.0) -> jax.Array:
+    """Normalised RMS loudness envelope with the authoring knobs of ar.rms
+    (optional band-pass, gaussian smooth, percentile clip, exponent);
+    (n_frames,) in [0, 1].  ``ar.rms(audio, sr, n, smooth=100) ** 2`` is the
+    reference's drop-weight idiom (patches/examples/01_intro.py:22)."""
+    audio = jnp.asarray(audio, jnp.float32)
+    if fmin is not None and fmax is not None:
+        audio = mid_pass(audio, sr, fmin=fmin, fmax=fmax)
+    elif fmin is not None:
+        audio = high_pass(audio, sr, fmin=fmin)
+    elif fmax is not None:
+        audio = low_pass(audio, sr, fmax=fmax)
+    env = AF.rms(audio, int(sr))[:, 0]
+    env = _to_frames(env, n_frames)
+    if clip is not None:
+        env = percentile_clip(env, clip)
+    if smooth:
+        env = gaussian_filter(env, smooth)
+    return normalize(env) ** power
+
+
+def laplacian_segmentation(audio: jax.Array, sr: int, n_frames: int,
+                           ks=(2, 4, 6, 8, 16)) -> jax.Array:
+    """(n_frames, len(ks)) integer section labels per k — the patch-author
+    flavour of segmentation (ar.laplacian_segmentation), backed by the CQT
+    recurrence pipeline (audio/segment.py)."""
+    from ..audio.segment import laplacian_segmentation_rosa
+
+    labels = laplacian_segmentation_rosa(np.asarray(audio, np.float32), sr, n_frames, ks=ks)
+    return jnp.asarray(labels)
 
 
 def chroma(audio: jax.Array, sr: int, n_frames: int, type: str = "cens",
@@ -262,6 +343,33 @@ def TonalLatents(chromagram: jax.Array, palette: jax.Array) -> jax.Array:
     return jnp.einsum("TC,CNL->TNL", ch, palette[:C])
 
 
+def chroma_weight_latents(chroma: jax.Array, latents: jax.Array) -> jax.Array:
+    """Chroma-weighted average of 12 latent keyframes -> (T, n_ws, 512)
+    (ar.chroma_weight_latents; argument order matches the reference)."""
+    return TonalLatents(jnp.asarray(chroma, jnp.float32), jnp.asarray(latents, jnp.float32))
+
+
+def perlin_noise(key, shape: tuple[int, int, int], res: tuple[int, int, int],
+                 octaves: int = 1, persistence: float = 0.5) -> jax.Array:
+    """Smooth fractal (T, H, W) perlin noise for noise-pyramid bases
+    (ar.perlin_noise).  ``res`` is the lattice resolution per axis; higher
+    octaves add halved-amplitude detail."""
+    key = jax.random.PRNGKey(key) if isinstance(key, int) else key
+    out = jnp.zeros(shape, jnp.float32)
+    amp, total = 1.0, 0.0
+    for o in range(octaves):
+        key, sub = jax.random.split(key)
+        lattice = jax.random.normal(
+            sub, (min(res[0] * 2**o + 1, shape[0]),
+                  min(res[1] * 2**o + 1, shape[1]),
+                  min(res[2] * 2**o + 1, shape[2])))
+        out = out + amp * jax.image.resize(lattice, shape, method="cubic")
+        total += amp
+        amp *= persistence
+    out = out / total
+    return out / (jnp.std(out) + 1e-8)
+
+
 def TonalNoise(key, chromagram: jax.Array, size: tuple[int, int]) -> jax.Array:
     """Chroma-weighted mix of C noise keyframes, (T, H, W)."""
     C = chromagram.shape[1]
@@ -376,6 +484,45 @@ class RandomPatch:
         lo, hi = _LAYER_BANDS[self.which_layers]
         lo, hi = min(lo, base.shape[1]), min(hi, base.shape[1])
         return base.at[:, lo:hi].set(new[:, lo:hi])
+
+
+# ------------------------------------------------------------- plotting --
+def plot_signals(signals, out_file: str | None = None):
+    """Stacked line plots of authoring envelopes (ar.plot_signals).  Saves
+    to ``out_file`` when given, else to ``output/signals.pdf``."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    signals = [np.asarray(s, np.float32).reshape(len(s), -1) for s in signals]
+    fig, axes = plt.subplots(len(signals), 1, figsize=(12, 2 * len(signals)), squeeze=False)
+    for ax, sig in zip(axes[:, 0], signals):
+        ax.plot(sig)
+        ax.set_xlim(0, len(sig))
+    fig.tight_layout()
+    out_file = out_file or "output/signals.pdf"
+    Path(out_file).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_file)
+    plt.close(fig)
+    return out_file
+
+
+def plot_spectra(spectra, out_file: str | None = None):
+    """Stacked (T, C) heatmaps of spectral features (ar.plot_spectra)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    spectra = [np.asarray(s, np.float32) for s in spectra]
+    fig, axes = plt.subplots(len(spectra), 1, figsize=(12, 2 * len(spectra)), squeeze=False)
+    for ax, spec in zip(axes[:, 0], spectra):
+        ax.imshow(spec.T, aspect="auto", origin="lower", interpolation="nearest")
+    fig.tight_layout()
+    out_file = out_file or "output/spectra.pdf"
+    Path(out_file).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_file)
+    plt.close(fig)
+    return out_file
 
 
 # --------------------------------------------------- patch-file contract --

@@ -338,6 +338,60 @@ def test_audioreactive_patch_api(rng, tmp_path):
     assert lats.shape == (T, 18, 512)
 
 
+def test_audioreactive_author_helpers(rng, tmp_path):
+    """The ar.* names the reference's example patches lean on
+    (load_audio/load_latents/rms/wrapping_slice/perlin/plots)."""
+    import scipy.io.wavfile as wavfile
+
+    import ssar_tpu.generate.audioreactive as ar
+
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(3 * sr)).astype(np.float32)
+    audio[:: sr // 2] += 1.0
+    T = 48
+
+    # loaders round-trip (the stems idiom: audio, sr, dur = ar.load_audio(...))
+    wav = tmp_path / "t.wav"
+    wavfile.write(wav, sr, (audio * 32767).astype(np.int16))
+    a, s, dur = ar.load_audio(str(wav), offset=0.5, duration=2.0)
+    assert s == sr and a.shape == (2 * sr,) and abs(dur - 2.0) < 1e-6
+
+    lat = tmp_path / "l.npy"
+    np.save(lat, rng.randn(5, 18, 512).astype(np.float32))
+    sel = ar.load_latents(str(lat))
+    assert sel.shape == (5, 18, 512)
+
+    # rms with band-pass + drop-weight idiom (ar.rms(...)**2)
+    dw = ar.rms(audio, sr, T, smooth=10) ** 2
+    assert dw.shape == (T,) and float(dw.min()) >= 0 and float(dw.max()) <= 1
+    banded = ar.rms(audio, sr, T, fmin=100, fmax=2000, clip=95)
+    assert banded.shape == (T,) and np.isfinite(np.asarray(banded)).all()
+
+    # wrapping slice wraps
+    w = np.asarray(ar.wrapping_slice(jnp.arange(10), 8, 4))
+    assert list(w) == [8, 9, 0, 1]
+
+    # chroma_weight_latents == TonalLatents with reference argument order
+    ch = ar.chroma(audio, sr, T)
+    pal = jnp.asarray(rng.randn(12, 18, 512).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(ar.chroma_weight_latents(ch, pal)),
+                               np.asarray(ar.TonalLatents(ch, pal)), rtol=1e-6)
+
+    # perlin noise: smooth (autocorrelated), unit scale, finite
+    pn = np.asarray(ar.perlin_noise(0, (T, 16, 16), (4, 2, 2), octaves=2))
+    assert pn.shape == (T, 16, 16) and np.isfinite(pn).all()
+    assert abs(pn.std() - 1.0) < 0.05
+    lag1 = np.corrcoef(pn[:-1].ravel(), pn[1:].ravel())[0, 1]
+    assert lag1 > 0.5  # temporal smoothness, unlike white noise
+
+    # plots write files
+    assert (tmp_path / "s.pdf").parent.exists()
+    f1 = ar.plot_signals([dw, banded], str(tmp_path / "s.pdf"))
+    f2 = ar.plot_spectra([np.asarray(ch)], str(tmp_path / "sp.pdf"))
+    import os
+    assert os.path.getsize(f1) > 0 and os.path.getsize(f2) > 0
+
+
 def test_sslstm_inference_renders(tmp_path, rng):
     from ssar_tpu.gan import stylegan2 as sg
     from ssar_tpu.models.selfsupervised import LSTMReactor, sslstm_features, sslstm_inference
