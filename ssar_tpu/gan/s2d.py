@@ -104,15 +104,10 @@ def _blur_phase_kernel(blur) -> np.ndarray:
     return k
 
 
-def upconv_blur_s2d(x: jax.Array, K: jax.Array, blur) -> jax.Array:
-    """The styled up path: conv_transpose(stride 2) + 4-tap FIR (pad 1,1) —
-    (B, H, W, Cin) full-res -> (B, H, W, 4*Cout) s2d, numerically equal to
-    s2d(upfirdn2d(conv_transpose(x, K), blur, pad=(1, 1))).
-
-    The two convs are composed into ONE dense (4, 4, Cin, 4*Cout) kernel:
-    XLA lowers the grouped phase-mixing conv with an 8x-padded temp, and a
-    dense conv keeps everything on the MXU in one pass.
-    """
+def _upconv_blur_keff(K: jax.Array, blur) -> jax.Array:
+    """Composed up-conv+FIR kernel (4, 4, Cin, Cout, 4): one stride-1 conv
+    of the full-res input with this kernel (padding (2, 1)) produces the
+    s2d of upfirdn2d(conv_transpose(x, K), blur, pad=(1, 1))."""
     kh, kw, Cin, Cout = K.shape
     ku = upconv_s2d_kernel(K).reshape(2, 2, Cin, Cout, 4)
     kph = _blur_phase_kernel(blur)  # (3, 3, 4, 4) numpy constant
@@ -124,7 +119,20 @@ def upconv_blur_s2d(x: jax.Array, K: jax.Array, blur) -> jax.Array:
                 for ux in range(2):
                     keff = keff.at[sy + uy, sx + ux].add(
                         jnp.einsum("icp,pq->icq", ku[uy, ux], kb))
-    keff = keff.reshape(4, 4, Cin, 4 * Cout)
+    return keff
+
+
+def upconv_blur_s2d(x: jax.Array, K: jax.Array, blur) -> jax.Array:
+    """The styled up path: conv_transpose(stride 2) + 4-tap FIR (pad 1,1) —
+    (B, H, W, Cin) full-res -> (B, H, W, 4*Cout) s2d, numerically equal to
+    s2d(upfirdn2d(conv_transpose(x, K), blur, pad=(1, 1))).
+
+    The two convs are composed into ONE dense (4, 4, Cin, 4*Cout) kernel:
+    XLA lowers the grouped phase-mixing conv with an 8x-padded temp, and a
+    dense conv keeps everything on the MXU in one pass.
+    """
+    kh, kw, Cin, Cout = K.shape
+    keff = _upconv_blur_keff(K, blur).reshape(4, 4, Cin, 4 * Cout)
     out = jax.lax.conv_general_dilated(
         x, keff.astype(x.dtype), (1, 1), ((2, 2), (2, 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -245,3 +253,155 @@ def repeat4(v: jax.Array) -> jax.Array:
 def noise_to_s2d(noise: jax.Array) -> jax.Array:
     """(B, 2H, 2W, 1) full-res noise -> (B, H, W, 4) phase planes."""
     return space_to_depth(noise)
+
+
+# ------------------------------------------------- block-4 (s2d^2) level --
+# The FINAL level's up-conv can consume the previous level's s2d output
+# directly and emit block-4 space-to-depth (4x4 pixel blocks as 16 channel
+# phases): both of the last two resolution levels then run with full
+# 128-lane registers and the full-resolution grid materialises exactly
+# once, at the 3-channel RGB output.  Phase layout: channel = c*16 + ph,
+# ph = 4*py + px, image[4e + py, 4f + px] = s2d4[e, f, c*16 + ph].
+
+def space_to_depth4(x: jax.Array) -> jax.Array:
+    """(B, 4H, 4W, C) -> (B, H, W, 16C), channel = c*16 + (4*py + px)."""
+    B, H4, W4, C = x.shape
+    x = x.reshape(B, H4 // 4, 4, W4 // 4, 4, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, H, W, C, py, px)
+    return x.reshape(B, H4 // 4, W4 // 4, C * 16)
+
+
+def depth_to_space4(x: jax.Array) -> jax.Array:
+    """(B, H, W, 16C) -> (B, 4H, 4W, C)."""
+    B, H, W, C16 = x.shape
+    C = C16 // 16
+    x = x.reshape(B, H, W, C, 4, 4)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (B, H, py, W, px, C)
+    return x.reshape(B, 4 * H, 4 * W, C)
+
+
+def _phase4(py: int, px: int) -> int:
+    return 4 * py + px
+
+
+def upconv_blur_s2d_chain_kernel(K: jax.Array, blur) -> jax.Array:
+    """(3, 3, 4*Cin, 16*Cout) kernel: one SAME conv of the s2d (block-2)
+    input with this kernel equals s2d4 of the full-res up path
+    (conv_transpose stride 2 + FIR) — i.e. upconv_blur_s2d composed with
+    depth_to_space on the input and a block-2 re-blocking on the output,
+    with zero handoff passes.
+
+    Derivation: the composed full-res kernel keff (4, 4, Cin, Cout, p2)
+    maps full-res input row i = m - 2 + sy to block-2-of-2H output at m.
+    Writing m = 2e + u (u in {0,1} — the extra s2d of the OUTPUT grid) and
+    i = 2a + ry (the s2d form of the INPUT) gives a 3x3 window over the
+    input cells a with output phase PY = 2u + py.
+    """
+    kh, kw, Cin, Cout = K.shape
+    keff = _upconv_blur_keff(K, blur)  # (4, 4, Cin, Cout, 4)
+    out = jnp.zeros((3, 3, Cin, 4, Cout, 16), K.dtype)
+    for u in (0, 1):
+        for sy in range(4):
+            oy = u - 2 + sy
+            wy, ry = (oy - (oy % 2)) // 2 + 1, oy % 2
+            for v in (0, 1):
+                for sx in range(4):
+                    ox = v - 2 + sx
+                    wx, rx = (ox - (ox % 2)) // 2 + 1, ox % 2
+                    kblk = keff[sy, sx].reshape(Cin, Cout, 2, 2)  # (ci, co, py, px)
+                    for py in (0, 1):
+                        for px in (0, 1):
+                            ph = _phase4(2 * u + py, 2 * v + px)
+                            out = out.at[wy, wx, :, _phase(ry, rx), :, ph].add(
+                                kblk[:, :, py, px])
+    return out.reshape(3, 3, 4 * Cin, 16 * Cout)
+
+
+def upconv_blur_s2d_chain(x2: jax.Array, K: jax.Array, blur, dtype=None) -> jax.Array:
+    """s2d input (B, H, W, 4*Cin) [block-2 of a (2H, 2W, Cin) image] ->
+    s2d4 output (B, H, W, 16*Cout) [block-4 of the (4H, 4W, Cout) up path]."""
+    ks = upconv_blur_s2d_chain_kernel(K, blur).astype(dtype or x2.dtype)
+    return jax.lax.conv_general_dilated(
+        x2, ks, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def conv3x3_s2d4_kernel(K: jax.Array) -> jax.Array:
+    """Full-res 3x3 SAME conv (3, 3, Cin, Cout) -> block-4 kernel
+    (3, 3, 16*Cin, 16*Cout)."""
+    kh, kw, Cin, Cout = K.shape
+    assert kh == 3 and kw == 3
+    out = jnp.zeros((3, 3, Cin, 16, Cout, 16), K.dtype)
+    for py in range(4):
+        for px in range(4):
+            pout = _phase4(py, px)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    fy, fx = py + dy, px + dx
+                    qy, ry = fy // 4, fy % 4
+                    qx, rx = fx // 4, fx % 4
+                    out = out.at[qy + 1, qx + 1, :, _phase4(ry, rx), :, pout].add(
+                        K[dy + 1, dx + 1])
+    return out.reshape(3, 3, 16 * Cin, 16 * Cout)
+
+
+def conv3x3_s2d4(x: jax.Array, K: jax.Array) -> jax.Array:
+    ks = conv3x3_s2d4_kernel(K).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, ks, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def conv1x1_s2d4_kernel(K: jax.Array) -> jax.Array:
+    """1x1 conv (1, 1, Cin, Cout) -> phase-diagonal (1, 1, 16Cin, 16Cout)."""
+    _, _, Cin, Cout = K.shape
+    out = jnp.zeros((1, 1, Cin, 16, Cout, 16), K.dtype)
+    for p in range(16):
+        out = out.at[0, 0, :, p, :, p].set(K[0, 0])
+    return out.reshape(1, 1, 16 * Cin, 16 * Cout)
+
+
+def upsample2x_s2d_chain_kernel(blur4, C: int) -> jax.Array:
+    """upsample2x (zero-insert + 4-tap FIR, pads (2, 1)) mapping a block-2
+    s2d image (B, H, W, 4C) [of the (2H, 2W, C) skip] directly to block-4
+    (B, H, W, 16C) [of the (4H, 4W, C) upsampled skip]: (3, 3, 4C, 16C),
+    diagonal over c.  The FIR taps land on even zero-inserted positions
+    only; per output phase PY that is 2 taps spanning 3 input cells."""
+    bf = np.asarray(blur4, np.float64)[::-1, ::-1]  # static FIR, jit-safe
+    out = np.zeros((3, 3, C, 4, C, 16), np.float32)
+    for PY in range(4):
+        for PX in range(4):
+            ph = _phase4(PY, PX)
+            for ty in range(4):
+                oy = PY - 2 + ty
+                if oy % 2:
+                    continue
+                gy = oy // 2
+                wy, ry = (gy - (gy % 2)) // 2 + 1, gy % 2
+                for tx in range(4):
+                    ox = PX - 2 + tx
+                    if ox % 2:
+                        continue
+                    gx = ox // 2
+                    wx, rx = (gx - (gx % 2)) // 2 + 1, gx % 2
+                    for c in range(C):
+                        out[wy, wx, c, _phase(ry, rx), c, ph] += bf[ty, tx]
+    return jnp.asarray(out.reshape(3, 3, 4 * C, 16 * C))
+
+
+def upsample2x_s2d_chain(x2: jax.Array, blur4) -> jax.Array:
+    """Block-2 s2d skip (B, H, W, 4C) -> block-4 of upsample2x: (B, H, W, 16C)."""
+    k = upsample2x_s2d_chain_kernel(blur4, x2.shape[-1] // 4).astype(x2.dtype)
+    return jax.lax.conv_general_dilated(
+        x2, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def repeat16(v: jax.Array) -> jax.Array:
+    """Per-channel vector (..., C) -> (..., 16C) matching layout c*16 + ph."""
+    return jnp.repeat(v, 16, axis=-1)
+
+
+def noise_to_s2d4(noise: jax.Array) -> jax.Array:
+    """(B, 4H, 4W, 1) full-res noise -> (B, H, W, 16) phase planes."""
+    return space_to_depth4(noise)

@@ -272,6 +272,60 @@ def _final_level_s2d(pu: dict, pc: dict, pr: dict, x: jax.Array, wu, wc, wr,
     return h, rgb  # both in s2d (channel = c*4 + phase)
 
 
+def _final_level_s2d4(pu: dict, pc: dict, pr: dict, x2: jax.Array, wu, wc, wr,
+                      nu, nc, skip2: jax.Array, blur_kernel, dtype) -> jax.Array:
+    """The LAST resolution level computed entirely in block-4 space-to-depth,
+    consuming the previous level's block-2 s2d activations and skip directly
+    (gan/s2d.py chain builders): the full-resolution grid never materialises
+    before the final 3-channel depth_to_space4.  Numerically equal to the
+    full-resolution formulation (tests/test_gan.py).
+
+    NOT used by ``synthesis``: measured SLOWER than the single-level s2d
+    form at 1024 px (155 vs 209 fps end-to-end; the dense phase-mixing
+    kernels multiply conv FLOPs 16x and the level is FLOP-limited, not
+    lane-limited — see docs/ARCHITECTURE.md "Known optimization headroom").
+    Kept because the builders are verified and the trade flips for
+    configurations with even narrower channels.
+
+    x2 (B, H, W, 4*Cin): s2d of the penultimate level's output;
+    skip2 (B, H, W, 12): s2d of its RGB.  Returns block-4 RGB (B, H, W, 48).
+    """
+    from .s2d import (conv1x1_s2d4_kernel, conv3x3_s2d4, noise_to_s2d4, repeat4,
+                      repeat16, upconv_blur_s2d_chain, upsample2x_s2d_chain)
+
+    blur = make_blur_kernel(blur_kernel) * 4.0  # numpy: stays a jit constant
+
+    # up conv (modulated), block-2 in -> block-4 out
+    style, demod, kernel = _style_demod(pu, wu)
+    xs = (x2 * repeat4(style)[:, None, None, :]).astype(dtype)
+    h = upconv_blur_s2d_chain(xs, kernel.astype(dtype), blur)
+    h = h * repeat16(demod)[:, None, None, :].astype(h.dtype)
+    if nu is not None:
+        n16 = noise_to_s2d4(nu.astype(h.dtype))  # (B, H, W, 16)
+        h = h + pu["noise_weight"].astype(h.dtype) * jnp.tile(n16, (1, 1, 1, h.shape[-1] // 16))
+    h = fused_leaky_relu(h, repeat16(pu["bias"]).astype(h.dtype))
+
+    # regular conv (modulated), block-4
+    style2, demod2, kernel2 = _style_demod(pc, wc)
+    xs2 = h * repeat16(style2)[:, None, None, :].astype(h.dtype)
+    h = conv3x3_s2d4(xs2, kernel2.astype(dtype))
+    h = h * repeat16(demod2)[:, None, None, :].astype(h.dtype)
+    if nc is not None:
+        n16 = noise_to_s2d4(nc.astype(h.dtype))
+        h = h + pc["noise_weight"].astype(h.dtype) * jnp.tile(n16, (1, 1, 1, h.shape[-1] // 16))
+    h = fused_leaky_relu(h, repeat16(pc["bias"]).astype(h.dtype))
+
+    # to_rgb (no demod) + upsampled block-2 skip, all in block-4
+    style3, _, kernel3 = _style_demod(pr, wr, demodulate=False)
+    xs3 = h * repeat16(style3)[:, None, None, :].astype(h.dtype)
+    k1 = conv1x1_s2d4_kernel(kernel3.astype(dtype))
+    rgb = jax.lax.conv_general_dilated(xs3, k1, (1, 1), "SAME",
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    rgb = rgb + repeat16(pr["bias"]).astype(rgb.dtype)
+    rgb = rgb + upsample2x_s2d_chain(skip2.astype(rgb.dtype), blur)
+    return rgb  # block-4 (channel = c*16 + 4*py + px)
+
+
 def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
               config: StyleGAN2Config, *, dtype=jnp.float32, output_size: int | None = None,
               return_features: bool = False):

@@ -218,3 +218,38 @@ def test_s2d_builders_match_full_ops(rng):
     ref3 = upsample2x(x)
     got3 = depth_to_space(upsample2x_s2d(x, jnp.asarray(blur_np)))
     assert float(jnp.abs(ref3 - got3).max()) < 1e-5
+
+
+def test_s2d_chain_builders_match_full_ops(rng):
+    """Block-4 chain builders (gan/s2d.py): the final level consuming the
+    previous level's s2d output directly must equal the full-res ops."""
+    from ssar_tpu.gan.s2d import (conv3x3_s2d4, depth_to_space, depth_to_space4,
+                                  space_to_depth, space_to_depth4,
+                                  upconv_blur_s2d, upconv_blur_s2d_chain,
+                                  upsample2x_s2d_chain)
+    from ssar_tpu.ops.upfirdn import make_blur_kernel, upsample2x
+
+    B, H, Ci, Co = 2, 8, 5, 4  # H = s2d grid of a (2H, 2W, Ci) input
+    blur_np = make_blur_kernel((1, 3, 3, 1)) * 4.0
+
+    z4 = jnp.asarray(rng.randn(B, 16, 16, Ci).astype(np.float32))
+    assert jnp.allclose(depth_to_space4(space_to_depth4(z4)), z4)
+
+    # up-conv + FIR: block-2 input -> block-4 output, vs the verified
+    # full-res-input builder re-blocked
+    xf = jnp.asarray(rng.randn(B, 2 * H, 2 * H, Ci).astype(np.float32))
+    K3 = jnp.asarray(rng.randn(3, 3, Ci, Co).astype(np.float32))
+    ref = space_to_depth4(depth_to_space(upconv_blur_s2d(xf, K3, blur_np)))
+    got = upconv_blur_s2d_chain(space_to_depth(xf), K3, blur_np)
+    assert float(jnp.abs(ref - got).max()) < 1e-4
+
+    # 3x3 SAME conv in block-4 form
+    ref2 = jax.lax.conv_general_dilated(z4, K3, (1, 1), ((1, 1), (1, 1)),
+                                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got2 = depth_to_space4(conv3x3_s2d4(space_to_depth4(z4), K3))
+    assert float(jnp.abs(ref2 - got2).max()) < 1e-4
+
+    # upsample2x: block-2 skip -> block-4 of the upsampled image
+    ref3 = space_to_depth4(upsample2x(xf))
+    got3 = upsample2x_s2d_chain(space_to_depth(xf), blur_np)
+    assert float(jnp.abs(ref3 - got3).max()) < 1e-5
