@@ -392,6 +392,58 @@ def test_audioreactive_author_helpers(rng, tmp_path):
     assert os.path.getsize(f1) > 0 and os.path.getsize(f2) > 0
 
 
+def test_sectional_runner_on_real_mp4(tmp_path, rng):
+    """End-to-end per-file reactivity: write a real mp4 with VideoWriter,
+    decode it back with the sectional runner, and check a reactive video
+    beats a static one on the rhythmic metric (ssar/metrics/sectional.py)."""
+    from ssar_tpu.gan.video_io import write_video
+    from ssar_tpu.metrics.sectional import evaluate_file, load_video
+
+    sr, fps, secs = 1024 * 24, 24, 3
+    T = secs * fps
+    audio = (0.05 * rng.randn(secs * sr)).astype(np.float32)
+    audio[:: sr // 2] += 1.0  # 2 Hz clicks
+
+    t = np.arange(T, dtype=np.float32)
+    flash = np.maximum(0, 1 - 8 * np.mod(t / fps * 2.0, 1.0))  # 2 Hz flashes
+    hue = rng.rand(1, 3, 8, 8).astype(np.float32)
+    reactive = np.clip(flash[:, None, None, None] * np.ones((T, 3, 64, 64), np.float32)
+                       + 0.1 * hue.repeat(T, 0).repeat(8, 2).repeat(8, 3), 0, 1)
+    static = np.full((T, 3, 64, 64), 0.5, np.float32)
+
+    f_re, f_st = tmp_path / "re.mp4", tmp_path / "st.mp4"
+    write_video(jnp.asarray(reactive.transpose(0, 2, 3, 1)), str(f_re), fps=fps)
+    write_video(jnp.asarray(static.transpose(0, 2, 3, 1)), str(f_st), fps=fps)
+
+    vid, got_fps = load_video(str(f_re), downsample=1)
+    assert vid.shape == (T, 3, 64, 64) and abs(got_fps - fps) < 0.5
+
+    m_re = evaluate_file(str(f_re), audio, sr, downsample=1)
+    m_st = evaluate_file(str(f_st), audio, sr, downsample=1)
+    assert np.isfinite([m_re["rhythmic"], m_re["chromatic"],
+                        m_st["rhythmic"], m_st["chromatic"]]).all()
+    assert m_re["rhythmic"] > m_st["rhythmic"]
+
+
+def test_librosa_parity_harness_runs(capsys):
+    """The parity CLI (audio/parity.py, the reference's audio.py __main__
+    contract) runs end-to-end: every feature prints stats, gradients flow
+    (no FAIL), and the oracle diffs are small."""
+    from ssar_tpu.audio.parity import main
+
+    main(["--seconds", "2", "--trials", "1"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) >= 11  # header + 10 features
+    assert "FAIL" not in out
+    # the two oracle-checked rows report small max abs diffs
+    for row in ("rms", "melspec"):
+        line = next(l for l in lines if l.startswith(row))
+        assert "shape" not in line  # shapes matched
+        max_diff = float(line.split("/")[-1])
+        assert max_diff < 1e-2
+
+
 def test_sslstm_inference_renders(tmp_path, rng):
     from ssar_tpu.gan import stylegan2 as sg
     from ssar_tpu.models.selfsupervised import LSTMReactor, sslstm_features, sslstm_inference
