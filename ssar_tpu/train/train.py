@@ -202,16 +202,22 @@ def main(argv=None):
         print(f"resumed from {args.resume} at step {start_it}")
 
     batches = prefetch(train_ds.batches(args.batch_size, seed=args.seed))
-    losses = []
+    pending: list = []  # (iter, device loss) — fetched once per eval window
     t0 = time.time()
     val_loss = float("nan")
     for it in range(start_it, args.n_examples, args.batch_size):
         batch = tuple(shard_batch(jnp.asarray(b), mesh) for b in next(batches))
         params, opt_state, loss, key = train_step(params, opt_state, batch, key)
-        losses.append(float(loss))
-        writer.scalar(f"Loss/{args.loss}", losses[-1], it)
+        # keep the loss ON DEVICE: a float() here would synchronise every
+        # step, and on the tunneled runtime the ~25 ms round-trip dominates
+        # the 13 ms step (measured 692 -> 2453 ex/s pipelined)
+        pending.append((it, loss))
 
         if it % args.eval_every == 0:
+            losses = [float(l) for _, l in pending]  # one sync per window
+            for (step_i, _), v in zip(pending, losses):
+                writer.scalar(f"Loss/{args.loss}", v, step_i)
+            pending = []
             vl, n = 0.0, 0
             for vbatch in val_ds.batches(args.batch_size, shuffle=False):
                 vl += float(eval_step(params, tuple(jnp.asarray(b) for b in vbatch), key))
@@ -234,12 +240,14 @@ def main(argv=None):
             except Exception as e:  # diagnostics never kill training
                 print(f"diagnostics skipped: {e}")
             rate = (it + args.batch_size) / (time.time() - t0)
-            print(f"iter {it}  train {np.mean(losses):.4f}  val {val_loss:.4f}  {rate:.1f} ex/s")
-            losses = []
+            train_loss = float(np.mean(losses)) if losses else float("nan")
+            print(f"iter {it}  train {train_loss:.4f}  val {val_loss:.4f}  {rate:.1f} ex/s")
 
         if it % args.ckpt_every == 0:
             ckpt_mgr.save(it, args=ocp.args.StandardSave({"params": params, "step": it}))
 
+    for step_i, l in pending:  # drain the last logging window
+        writer.scalar(f"Loss/{args.loss}", float(l), step_i)
     ckpt_mgr.save(args.n_examples, args=ocp.args.StandardSave({"params": params, "step": args.n_examples}))
     ckpt_mgr.wait_until_finished()
     print(f"done: val_loss {val_loss:.4f}, checkpoints in {log_dir}/ckpt")
