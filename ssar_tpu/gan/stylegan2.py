@@ -328,21 +328,32 @@ def _final_level_s2d4(pu: dict, pc: dict, pr: dict, x2: jax.Array, wu, wc, wr,
 
 def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
               config: StyleGAN2Config, *, dtype=jnp.float32, output_size: int | None = None,
-              return_features: bool = False):
+              return_features: bool = False, bends: dict | None = None):
     """W+ latents (B, n_latent, 512) [+ noises list of (B, H, W, 1)] -> images
     (B, R, R, 3) in [-1, 1] (unclamped).
 
     `output_size` < native resolution early-exits at the matching skip
     branch — the progressive to_rgb skips make every intermediate resolution
     a valid image (TPU-friendly way to render small previews).
+
+    `bends` maps a feature level (0 = the 4x4 block, 1 = 8x8, ...) to a
+    traceable NHWC transform applied to that level's activations before its
+    to_rgb — the network-bending hook of the maua-era patches
+    (ssar/patches/examples/01_intro.py:101-107, list of {"layer", "transform"}).
+    A bend may change the spatial shape (e.g. replication-pad 4x4 -> 4x8 for
+    widescreen renders); downstream convs are shape-polymorphic, but then the
+    caller must supply matching `noises` or None.
     """
     B = latents.shape[0]
+    bends = bends or {}
     if noises is None:
         noises = [None] * config.num_layers
 
     feats = []
     x = jnp.broadcast_to(params["const"].astype(dtype), (B,) + params["const"].shape)
     x = styled_conv(params["conv1"], x, latents[:, 0], noises[0], dtype=dtype)
+    if 0 in bends:
+        x = bends[0](x)
     feats.append(x)
     skip = to_rgb(params["to_rgb1"], x, latents[:, 1], dtype=dtype)
 
@@ -354,7 +365,8 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
     for level, (conv_up, conv) in enumerate(zip(params["convs"][::2], params["convs"][1::2])):
         res = 2 ** (level + 3)
         out_ch = conv["weight"].shape[-1]
-        if res == target_res and res >= 8 and out_ch < 128 and not return_features:
+        if res == target_res and res >= 8 and out_ch < 128 and not return_features \
+                and not bends:  # bends may change spatial shapes; take the plain path
             # FINAL level in space-to-depth form: low channel counts at high
             # resolution otherwise lane-pad every pass (gan/s2d.py).
             # (Chaining earlier levels through s2d measured SLOWER — the
@@ -371,6 +383,8 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
             break
         x = styled_conv(conv_up, x, latents[:, i], noises[i], up=True, dtype=dtype)
         x = styled_conv(conv, x, latents[:, i + 1], noises[i + 1], dtype=dtype)
+        if (level + 1) in bends:
+            x = bends[level + 1](x)
         feats.append(x)
         skip = to_rgb(params["to_rgbs"][level], x, latents[:, i + 2], skip, dtype=dtype)
         i += 2

@@ -87,16 +87,32 @@ class StyleGAN2Synthesizer:
             m = max(output_size)
             self.synth_res = min(native, 1 << int(np.ceil(np.log2(max(m, 4)))))
 
+        self.bends: dict = {}
+        self._fwd = self._make_fwd()
+
+    def _make_fwd(self):
+        bends = dict(self.bends)  # captured at trace time; set_bends re-jits
+
         @partial(jax.jit, static_argnames=())
         def _fwd(params, latents, noises):
             img = sg.synthesis(params, latents, noises, self.config, dtype=self.dtype,
-                               output_size=self.synth_res)
+                               output_size=self.synth_res, bends=bends)
             if self.output_size is not None and (img.shape[1], img.shape[2]) != tuple(self.output_size[::-1]):
                 h, w = self.output_size[1], self.output_size[0]
                 img = jax.image.resize(img, (img.shape[0], h, w, 3), method="bilinear")
             return img
 
-        self._fwd = _fwd
+        return _fwd
+
+    def set_bends(self, bends) -> None:
+        """Install network bends: either a {level: transform} dict or the
+        reference's list of {"layer": int, "transform": callable}
+        (ssar/patches/examples/01_intro.py:101-107).  Transforms are traceable
+        NHWC functions applied to that feature level's activations."""
+        if isinstance(bends, (list, tuple)):
+            bends = {int(b["layer"]): b["transform"] for b in bends}
+        self.bends = dict(bends or {})
+        self._fwd = self._make_fwd()
 
     @property
     def n_noises_used(self) -> int:
@@ -150,17 +166,33 @@ class StyleGAN2:
         latents = jnp.asarray(inputs["latents"], jnp.float32)
         noise_seq = inputs.get("noise")
         T = latents.shape[0]
-        for i in range(0, T, batch_size):
-            L = latents[i : i + batch_size]
+
+        def _pad(x):  # static-shape pad so every batch hits one compiled shape
+            if x.shape[0] < batch_size:
+                x = jnp.concatenate([x, jnp.repeat(x[-1:], batch_size - x.shape[0], axis=0)])
+            return x
+
+        def synth(i):
+            L = _pad(latents[i : i + batch_size])
             kw = {}
             if noise_seq is not None:
-                kw["noises"] = [_nchw_to_nhwc(n[i : i + batch_size]) for n in noise_seq]
+                kw["noises"] = [_nchw_to_nhwc(_pad(n[i : i + batch_size])) for n in noise_seq]
             frames = (self.synthesizer(L, **kw) + 1.0) / 2.0
             frames = jnp.clip(frames, 0.0, 1.0)
             if postprocess_fn is not None:
                 frames = postprocess_fn(frames)
-            for f in np.asarray(frames):
+            return frames
+
+        # double buffer: batch i+1 synthesises on device while batch i is
+        # fetched and consumed on the host (SURVEY.md §7 choreography)
+        starts = list(range(0, T, batch_size))
+        pending = synth(starts[0])
+        for j, i in enumerate(starts):
+            nxt = synth(starts[j + 1]) if j + 1 < len(starts) else None
+            host = np.asarray(pending)
+            for f in host[: min(batch_size, T - i)]:
                 yield f
+            pending = nxt
 
 
 def make_noise_pyramid(noise, layers: int | None = None, config: sg.StyleGAN2Config | None = None):

@@ -57,6 +57,7 @@ __all__ = [
     "TempoLoopLatents", "TempoLoopNoise", "TonalLatents", "TonalNoise",
     "chroma_weight_latents",
     "RandomPatch", "render_patch", "load_patch_module",
+    "AddNoise", "replication_pad", "sequential",
 ]
 
 
@@ -525,6 +526,44 @@ def plot_spectra(spectra, out_file: str | None = None):
     return out_file
 
 
+# ------------------------------------------------------- network bending --
+class AddNoise:
+    """Traceable bend transform: adds a fixed noise field to a feature map
+    (``ar.AddNoise``, ssar/patches/examples/01_intro.py:103).  Accepts the
+    reference's NCHW (1, 1, H, W) noise and converts to NHWC."""
+
+    def __init__(self, noise):
+        noise = jnp.asarray(noise, jnp.float32)
+        if noise.ndim == 4 and noise.shape[1] == 1 and noise.shape[-1] != 1:
+            noise = jnp.transpose(noise, (0, 2, 3, 1))  # NCHW -> NHWC
+        self.noise = noise
+
+    def __call__(self, x):
+        return x + self.noise.astype(x.dtype)
+
+
+def replication_pad(left: int, right: int, top: int = 0, bottom: int = 0):
+    """Edge-replicating spatial pad on NHWC feature maps — the
+    ``th.nn.ReplicationPad2d((l, r, t, b))`` of the widescreen-bend idiom
+    (pads 4x4 const blocks to 4x8 so every later level renders 2:1)."""
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)), mode="edge")
+
+    return pad
+
+
+def sequential(*fns):
+    """Compose bend transforms left-to-right (th.nn.Sequential equivalent)."""
+
+    def run(x):
+        for f in fns:
+            x = f(x)
+        return x
+
+    return run
+
+
 # --------------------------------------------------- patch-file contract --
 def load_patch_module(path: str) -> types.ModuleType:
     """Import a patch file (initialize/get_latents/get_noise) by path."""
@@ -565,6 +604,9 @@ def render_patch(patch_module, audio, sr: int, fps: float = 24, palette=None,
         for i, (h, w) in enumerate(synthesizer.config.noise_shapes()[: synthesizer.n_noises_used]):
             n = patch_module.get_noise(h, w, scale=i, num_scales=synthesizer.n_noises_used, args=args)
             noises.append(np.asarray(n)[:, None] if np.asarray(n).ndim == 3 else np.asarray(n))
+
+    if hasattr(patch_module, "get_bends") and synthesizer is not None:
+        synthesizer.set_bends(patch_module.get_bends(args))
 
     if synthesizer is not None and out_file is not None:
         from ..gan.render import render_latents_to_video

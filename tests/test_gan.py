@@ -119,6 +119,41 @@ def test_early_exit_output_size(rng):
     assert img.shape == (1, 16, 16, 3)
 
 
+def test_network_bends(rng):
+    """Bends (SURVEY §2.7 patch API): per-level activation transforms.
+    The widescreen replication-pad bend doubles the aspect ratio end-to-end
+    and an AddNoise bend perturbs the output (01_intro.py:101-107 idiom)."""
+    from ssar_tpu.generate import audioreactive as ar
+
+    params = sg.init_generator(jax.random.PRNGKey(0), CFG)
+    z = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+    w = sg.w_to_wplus(sg.mapping(params, z, CFG), CFG)
+
+    wide = sg.synthesis(params, w, None, CFG, bends={0: ar.replication_pad(0, 4)})
+    assert wide.shape == (1, 64, 128, 3)
+
+    bend = ar.sequential(ar.AddNoise(0.5 * rng.randn(1, 1, 8, 8).astype(np.float32)))
+    plain = sg.synthesis(params, w, None, CFG)
+    bent = sg.synthesis(params, w, None, CFG, bends={1: bend})
+    assert plain.shape == bent.shape
+    assert np.abs(np.asarray(plain - bent)).max() > 1e-4
+
+
+def test_synthesizer_set_bends(rng):
+    from ssar_tpu.gan.wrapper import StyleGAN2Synthesizer
+    from ssar_tpu.generate import audioreactive as ar
+
+    S = StyleGAN2Synthesizer(config=CFG, dtype=jnp.float32)
+    w = jnp.asarray(rng.randn(1, CFG.n_latent, 512).astype(np.float32))
+    base = np.asarray(S(w))
+    S.set_bends([{"layer": 1, "transform": ar.AddNoise(rng.randn(1, 1, 8, 8).astype(np.float32))}])
+    bent = np.asarray(S(w))
+    assert np.abs(base - bent).max() > 1e-4
+    S.set_bends({})
+    again = np.asarray(S(w))
+    np.testing.assert_allclose(base, again, rtol=1e-5, atol=1e-5)
+
+
 def test_wrapper_api_and_render(rng):
     G = StyleGAN2(config=CFG, output_size=(32, 32))
     w = G.get_w_latents("0,1")
