@@ -14,7 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_render(resolution=1024, batch_size=32, iters=8):
+def bench_render(resolution=1024, batch_size=64, iters=8):
+    # batch sweep on v5e (2026-08-16): B=32 -> 202-209 fps, B=64 -> 217 fps,
+    # B=128 fails to compile (HBM); 64 is the knee.
     from ssar_tpu.gan import stylegan2 as sg
 
     cfg = sg.StyleGAN2Config(resolution=resolution)
