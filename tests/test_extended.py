@@ -338,6 +338,30 @@ def test_audioreactive_patch_api(rng, tmp_path):
     assert lats.shape == (T, 18, 512)
 
 
+def test_patch_with_bends_renders_widescreen(rng, tmp_path):
+    """render_patch installs get_bends transforms on the synthesizer; the
+    widescreen replication-pad bend makes a 2:1 frame end-to-end
+    (examples/widescreen_bend_patch.py archetype)."""
+    import ssar_tpu.generate.audioreactive as ar
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.gan.wrapper import StyleGAN2Synthesizer
+
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
+    audio[:: sr // 2] += 1.0
+    cfg = sg.StyleGAN2Config(resolution=32)
+    syn = StyleGAN2Synthesizer(config=cfg, dtype=jnp.float32)
+    palette = jnp.asarray(rng.randn(6, cfg.n_latent, 512).astype(np.float32))
+
+    mod = ar.load_patch_module("examples/widescreen_bend_patch.py")
+    lats, _ = ar.render_patch(mod, audio, sr, palette=palette, synthesizer=syn)
+    assert lats.shape == (48, cfg.n_latent, 512)
+    assert syn.bends and 0 in syn.bends
+    frame = np.asarray(syn(lats[:1]))
+    assert frame.shape == (1, 32, 64, 3)
+    assert np.isfinite(frame).all()
+
+
 def test_audioreactive_author_helpers(rng, tmp_path):
     """The ar.* names the reference's example patches lean on
     (load_audio/load_latents/rms/wrapping_slice/perlin/plots)."""
