@@ -54,10 +54,17 @@ def render_latents_to_video(
         if noises is not None:
             ns = []
             for n in noises:
-                nn = jnp.asarray(n[i : i + batch_size], jnp.float32)
+                if callable(n) and not isinstance(n, (np.ndarray, jax.Array)):
+                    # lazy noise-module algebra (generate/noise.py): only the
+                    # [i, i+b) window is ever materialised — a full-track
+                    # 1024px noise video never exists in memory
+                    nn = jnp.asarray(n(i, min(batch_size, T - i)), jnp.float32)[:, :, :, None]
+                else:
+                    nn = jnp.asarray(n[i : i + batch_size], jnp.float32)
+                    nn = jnp.transpose(nn, (0, 2, 3, 1))  # NCHW -> NHWC
                 if nn.shape[0] < batch_size:
                     nn = jnp.concatenate([nn, jnp.repeat(nn[-1:], batch_size - nn.shape[0], axis=0)])
-                ns.append(jnp.transpose(nn, (0, 2, 3, 1)))
+                ns.append(nn)
             kw["noises"] = ns
         frames = (synthesizer(L, **kw) + 1.0) / 2.0
         frames = jnp.clip(frames, 0.0, 1.0)

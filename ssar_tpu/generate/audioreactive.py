@@ -130,13 +130,16 @@ def _to_frames(env: jax.Array, n_frames: int) -> jax.Array:
 
 # --------------------------------------------------- feature envelopes --
 def onsets(audio: jax.Array, sr: int, n_frames: int, fmin: float | None = None,
-           clip: float | None = None, smooth: float = 1.0, power: float = 1.0) -> jax.Array:
+           fmax: float | None = None, clip: float | None = None, smooth: float = 1.0,
+           power: float = 1.0) -> jax.Array:
     """Onset-strength envelope with the authoring knobs of ar.onsets:
-    optional high-pass at ``fmin``, percentile clip, gaussian smooth,
-    exponent.  (n_frames,) in [0, 1]."""
+    optional band selection (high-pass at ``fmin`` / low-pass at ``fmax``),
+    percentile clip, gaussian smooth, exponent.  (n_frames,) in [0, 1]."""
     audio = jnp.asarray(audio, jnp.float32)
     if fmin is not None:
         audio = high_pass(audio, sr, fmin=fmin)
+    if fmax is not None:
+        audio = low_pass(audio, sr, fmax=fmax)
     env = AF.onsets(audio, int(sr))[:, 0]
     env = _to_frames(env, n_frames)
     if clip is not None:
@@ -603,7 +606,10 @@ def render_patch(patch_module, audio, sr: int, fps: float = 24, palette=None,
         noises = []
         for i, (h, w) in enumerate(synthesizer.config.noise_shapes()[: synthesizer.n_noises_used]):
             n = patch_module.get_noise(h, w, scale=i, num_scales=synthesizer.n_noises_used, args=args)
-            noises.append(np.asarray(n)[:, None] if np.asarray(n).ndim == 3 else np.asarray(n))
+            if callable(n) and not isinstance(n, (np.ndarray, jax.Array)):
+                noises.append(n)  # lazy Noise module, evaluated per render chunk
+            else:
+                noises.append(np.asarray(n)[:, None] if np.asarray(n).ndim == 3 else np.asarray(n))
 
     if hasattr(patch_module, "get_bends") and synthesizer is not None:
         synthesizer.set_bends(patch_module.get_bends(args))

@@ -362,6 +362,31 @@ def test_patch_with_bends_renders_widescreen(rng, tmp_path):
     assert np.isfinite(frame).all()
 
 
+def test_patch_with_lazy_noise_modules_renders(rng, tmp_path):
+    """get_noise may return a lazy Noise module (generate/noise.py algebra);
+    the render pipeline materialises only per-chunk windows
+    (examples/tempo_loop_noise_patch.py archetype)."""
+    import ssar_tpu.generate.audioreactive as ar
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.gan.wrapper import StyleGAN2Synthesizer
+
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
+    audio[:: sr // 4] += 1.0
+    cfg = sg.StyleGAN2Config(resolution=16)
+    syn = StyleGAN2Synthesizer(config=cfg, dtype=jnp.float32)
+    palette = jnp.asarray(rng.randn(6, cfg.n_latent, 512).astype(np.float32))
+
+    out = tmp_path / "out.mp4"
+    mod = ar.load_patch_module("examples/tempo_loop_noise_patch.py")
+    lats, noises = ar.render_patch(mod, audio, sr, palette=palette,
+                                   synthesizer=syn, out_file=str(out))
+    assert lats.shape == (48, cfg.n_latent, 512)
+    from ssar_tpu.generate.noise import Noise
+    assert noises and all(isinstance(n, Noise) for n in noises)
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_audioreactive_author_helpers(rng, tmp_path):
     """The ar.* names the reference's example patches lean on
     (load_audio/load_latents/rms/wrapping_slice/perlin/plots)."""
