@@ -186,6 +186,8 @@ class StyleGAN2:
         # double buffer: batch i+1 synthesises on device while batch i is
         # fetched and consumed on the host (SURVEY.md §7 choreography)
         starts = list(range(0, T, batch_size))
+        if not starts:
+            return
         pending = synth(starts[0])
         for j, i in enumerate(starts):
             nxt = synth(starts[j + 1]) if j + 1 < len(starts) else None
