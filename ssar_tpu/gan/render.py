@@ -70,7 +70,10 @@ def render_latents_to_video(
         frames = jnp.clip(frames, 0.0, 1.0)
         if postprocess_fn is not None:
             frames = postprocess_fn(frames)
-        return frames
+        # quantise on device: the writer re-encodes to uint8 anyway, and u8
+        # frames are 4x smaller both in HBM (two batches are alive under
+        # double-buffering) and across the device->host fetch
+        return (frames * 255.0 + 0.5).astype(jnp.uint8)
 
     starts = list(range(0, T, batch_size))
     it = range(len(starts))

@@ -120,9 +120,13 @@ class StyleGAN2Synthesizer:
         log = int(np.log2(self.synth_res))
         return (log - 2) * 2 + 1
 
-    def __call__(self, latents, **noise_kwargs) -> jax.Array:
+    def __call__(self, latents, params=None, **noise_kwargs) -> jax.Array:
         """latents (B, n_ws, 512); noise via noise0..noiseN kwargs (NCHW) or
-        `noises=[...]`. Returns (B, H, W, 3) in [-1, 1] (unclamped)."""
+        `noises=[...]`. Returns (B, H, W, 3) in [-1, 1] (unclamped).
+
+        `params` overrides the stored weights — pass it when calling from
+        inside an outer jit so the weights are traced arguments rather than
+        120 MB of embedded HLO constants (see generate/sample.py)."""
         latents = jnp.asarray(latents, jnp.float32)
         noises = noise_kwargs.pop("noises", None)
         if noises is None and noise_kwargs:
@@ -134,7 +138,7 @@ class StyleGAN2Synthesizer:
             noises = list(noises[:n_used]) + [None] * max(0, n_used - len(noises))
             pad = [None] * (self.config.num_layers - len(noises))
             noises = noises + pad
-        return self._fwd(self.params, latents, noises)
+        return self._fwd(self.params if params is None else params, latents, noises)
 
 
 class StyleGAN2:

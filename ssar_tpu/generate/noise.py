@@ -12,6 +12,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _win(x: jax.Array, i, b: int) -> jax.Array:
+    """Length-``b`` window of ``x`` starting at ``i`` along axis 0.
+
+    ``i`` may be a tracer (the whole per-chunk render — noise tree +
+    synthesis — is traced as ONE program; see generate/sample.py), so this
+    is a dynamic_slice, not python slicing.  ``b`` must be static.  Out-of
+    -range starts clamp (XLA semantics); render loops keep i <= length-b."""
+    return jax.lax.dynamic_slice_in_dim(x, i, b, axis=0)
+
+
 class Noise:
     def __init__(self, length: int, size: tuple[int, int]):
         self.length = length
@@ -33,7 +43,7 @@ class Blend(Noise):
         self.modulator = modulator  # (T, M)
 
     def __call__(self, i, b):
-        mod = self.modulator[i : i + b].reshape(-1, self.modulator.shape[1])
+        mod = _win(self.modulator, i, b).reshape(-1, self.modulator.shape[1])
         left = jnp.einsum("MHW,BM->BHW", self.noise[0], mod)
         right = jnp.einsum("MHW,BM->BHW", self.noise[1], 1 - mod)
         return left + right
@@ -46,7 +56,7 @@ class Multiply(Noise):
         self.modulator = modulator
 
     def __call__(self, i, b):
-        mod = self.modulator[i : i + b].reshape(-1, self.modulator.shape[1])
+        mod = _win(self.modulator, i, b).reshape(-1, self.modulator.shape[1])
         return jnp.einsum("MHW,BM->BHW", self.noise, mod)
 
 
@@ -60,7 +70,7 @@ class Loop(Noise):
         self.idx = jnp.linspace(0, float(n_loops) * 2 * jnp.pi, length)
 
     def __call__(self, i, b):
-        freqs = jnp.cos(self.idx[i : i + b, None, None] + self.noise[0:1]) / (self.sigma / 50)
+        freqs = jnp.cos(_win(self.idx, i, b)[:, None, None] + self.noise[0:1]) / (self.sigma / 50)
         out = jnp.sin(freqs + self.noise[1:2]) * self.noise[2:3]
         rms = jnp.sqrt(jnp.mean(out**2, axis=(1, 2), keepdims=True))
         return out / (rms + jnp.finfo(out.dtype).eps)
@@ -82,7 +92,7 @@ class Modulate(Noise):
         self.modulator = jnp.mean(modulator, axis=1)  # (T,)
 
     def __call__(self, i, b):
-        mod = self.modulator[i : i + b, None, None]
+        mod = _win(self.modulator, i, b)[:, None, None]
         return self.left(i, b) * mod + self.right(i, b) * (1 - mod)
 
 
@@ -93,6 +103,37 @@ class ScaleBias(Noise):
 
     def __call__(self, i, b):
         return self.scale * self.base(i, b) + self.bias
+
+
+# Noise trees are registered as pytrees so a whole expression tree can be a
+# jit ARGUMENT (generate/sample.py passes the per-layer modules straight into
+# the fused chunk program).  Without this the banks — up to (2, M, 1024,
+# 1024) f32 on the top layers — would be embedded in the HLO as constants,
+# which bloats the program past what compile services accept and duplicates
+# HBM.  Numeric fields are children (tracers; value changes don't retrace),
+# structure is aux data.
+def _register(cls, leaf_fields: tuple, child_fields: tuple = ()):
+    fields = leaf_fields + child_fields
+
+    def flatten(m):
+        return tuple(getattr(m, f) for f in fields), (m.length, m.size)
+
+    def unflatten(aux, children):
+        m = cls.__new__(cls)
+        m.length, m.size = aux
+        for f, v in zip(fields, children):
+            setattr(m, f, v)
+        return m
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+
+_register(Blend, ("noise", "modulator"))
+_register(Multiply, ("noise", "modulator"))
+_register(Loop, ("noise", "idx", "sigma"))
+_register(Average, (), ("left", "right"))
+_register(Modulate, ("modulator",), ("left", "right"))
+_register(ScaleBias, ("scale", "bias"), ("base",))
 
 
 NOISE_DEPTH_RANGES = {

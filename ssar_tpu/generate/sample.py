@@ -84,25 +84,44 @@ def generate(audio_file: str | None = None, patch_file: str | None = None, seed:
 
     print("rendering...")
     T = latents.shape[0]
+    bs = min(batch_size, T)
+
+    # ONE jitted program per chunk: the lazy noise tree, synthesis, and the
+    # uint8 quantisation all trace together.  Eagerly evaluating the noise
+    # modules costs dozens of dispatches per chunk (~25 ms each on the
+    # tunneled runtime — measured 2-4 fps end-to-end vs 200+ fps raw
+    # synthesis); fused, the per-chunk overhead is one dispatch.  The chunk
+    # start is a traced scalar so every chunk shares one compiled shape.
+    # the noise trees ride along as a pytree ARGUMENT (see generate/noise.py
+    # _register) so their banks are referenced, not embedded as constants
+    @jax.jit
+    def render_chunk(L, i, mods, params):
+        N = {f"noise{j}": nm.forward(i, bs)[:, None] for j, nm in enumerate(mods)}
+        frames = jnp.clip((G.synthesizer(latents=L, params=params, **N) + 1) / 2, 0, 1)
+        # device-side uint8: halves HBM pressure of the double buffer and
+        # cuts the device->host fetch 4x
+        return (frames * 255.0 + 0.5).astype(jnp.uint8)
+
+    starts = list(range(0, T - bs + 1, bs))
+    if starts[-1] != T - bs:
+        starts.append(T - bs)  # final chunk overlaps instead of going ragged
+
+    Path(out_file).parent.mkdir(parents=True, exist_ok=True)
+    patch.save(out_file.replace(".mp4", ".json"))
     with VideoWriter(output_file=out_file, output_size=out_size, fps=fps,
                      audio_file=audio_file, audio_offset=audio_offset,
                      audio_duration=audio_duration) as video:
-        pending = None
-        for i in range(0, T, batch_size):
-            L = latents[i : i + batch_size]
-            b = L.shape[0]
-            N = {f"noise{j}": nm.forward(i, b)[:, None] for j, nm in enumerate(noise)}
-            frames = jnp.clip((G.synthesizer(latents=L, **N) + 1) / 2, 0, 1)
+        pending, pending_start = None, 0
+        for s in starts + [None]:  # double buffer: one chunk in flight
+            nxt = None if s is None else render_chunk(latents[s : s + bs],
+                                                      jnp.asarray(s, jnp.int32), noise,
+                                                      G.synthesizer.params)
             if pending is not None:
-                for f in np.asarray(pending):
+                host = np.asarray(pending)
+                skip = video.frames_written - pending_start  # overlap already written
+                for f in host[skip:]:
                     video.write(f)
-            pending = frames
-            if i == 0:
-                Path(out_file).parent.mkdir(parents=True, exist_ok=True)
-                patch.save(out_file.replace(".mp4", ".json"))
-        if pending is not None:
-            for f in np.asarray(pending):
-                video.write(f)
+            pending, pending_start = nxt, (s or 0)
     print(f"wrote {out_file}")
     return out_file
 

@@ -1,5 +1,6 @@
 """Extended component tests: v1 models, GAN families, trainers, OOD/FCD,
 analysis toolkit, discriminator/pSp, extractors, config system."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -360,6 +361,29 @@ def test_patch_with_bends_renders_widescreen(rng, tmp_path):
     frame = np.asarray(syn(lats[:1]))
     assert frame.shape == (1, 32, 64, 3)
     assert np.isfinite(frame).all()
+
+
+def test_random_patch_pipeline_end_to_end(rng, tmp_path):
+    """The flagship CLI path (SURVEY §3.2): audio -> MIR -> random Patch ->
+    fused chunk render (noise tree + synthesis + uint8 traced as one
+    program, overlapping final chunk) -> mp4 with the right frame count."""
+    import cv2
+
+    from ssar_tpu.gan.stylegan2 import StyleGAN2Config
+    from ssar_tpu.generate.sample import generate
+
+    fps, secs = 8, 2
+    sr = int(1024 * fps)
+    t = np.arange(sr * secs) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t)
+             + 0.05 * rng.randn(len(t))).astype(np.float32)
+    audio[:: sr // 2] += 0.8
+    out = generate(seed=3, fps=fps, downscale_factor=1, batch_size=6,  # 16 % 6 != 0: overlap path
+                   out_dir=str(tmp_path), config=StyleGAN2Config(resolution=32),
+                   audio=audio, sr=sr)
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == secs * fps
+    assert out.endswith(".mp4") and os.path.exists(out.replace(".mp4", ".json"))
 
 
 def test_patch_with_lazy_noise_modules_renders(rng, tmp_path):
