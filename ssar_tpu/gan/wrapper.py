@@ -33,7 +33,10 @@ def _nchw_to_nhwc(n):
 
 def load_params(model_file: str | None, config: sg.StyleGAN2Config, seed: int = 0):
     if model_file is None:
-        return sg.init_generator(jax.random.PRNGKey(seed), config)
+        # ONE jitted init program: eager init dispatches hundreds of small
+        # individually-compiled ops, which costs minutes on a remote-compile
+        # runtime (config is a frozen dataclass, so it can be static)
+        return jax.jit(sg.init_generator, static_argnums=1)(jax.random.PRNGKey(seed), config)
     if str(model_file).endswith(".pt"):
         from .convert import load_rosinality_pt
 

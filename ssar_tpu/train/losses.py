@@ -17,12 +17,22 @@ import jax.numpy as jnp
 
 
 def orthogonal_procrustes_distance(x: jax.Array, y: jax.Array) -> jax.Array:
-    """x (T, Dx), y (T, Dy) -> scalar in [0, 2] (ssar/train.py:157-162)."""
+    """x (T, Dx), y (T, Dy) -> scalar in [0, 2] (ssar/train.py:157-162).
+
+    The nuclear norm ||x'y||_* is computed as sum sqrt(eigvals(A A^T)) on
+    whichever Gram side of A = x'y is smaller — for the self-supervised
+    loss that turns grad-of-SVD of a (n_ws*512 + noise, 59) matrix (a
+    compile-time and runtime monster on TPU) into two matmuls plus a tiny
+    symmetric eigendecomposition, whose eigenvalue gradients are also
+    better-behaved than SVD's."""
     x = x - jnp.mean(x, axis=0, keepdims=True)
     x = x / (jnp.linalg.norm(x) + 1e-12)
     y = y - jnp.mean(y, axis=0, keepdims=True)
     y = y / (jnp.linalg.norm(y) + 1e-12)
-    s = jnp.linalg.svd(x.T @ y, compute_uv=False)
+    a = x.T @ y
+    m = a @ a.T if a.shape[0] <= a.shape[1] else a.T @ a
+    ev = jnp.linalg.eigvalsh(m)
+    s = jnp.sqrt(jnp.clip(ev, 0.0) + 1e-24)  # |eps err| <= d * 1e-12
     return 1.0 - jnp.sum(s)
 
 

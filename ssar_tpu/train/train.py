@@ -36,9 +36,13 @@ from .losses import audio_reactive_loss, supervised_loss
 
 
 def make_model(args, mean, std, palette):
+    # constants stay HOST numpy: trace-time lowering embeds module constants
+    # via np.asarray, and a device-resident constant forces a D2H fetch per
+    # jit lowering (~100 s each through the tunneled runtime — measured;
+    # three of them made the T=192 train step appear to hang)
     return LatentNoiseReactor(
-        input_mean=jnp.asarray(mean), input_std=jnp.asarray(std),
-        latents=None if args.decoder == "learned" else jnp.asarray(palette),
+        input_mean=np.asarray(mean), input_std=np.asarray(std),
+        latents=None if args.decoder == "learned" else np.asarray(palette),
         residual=args.residual, num_layers=args.num_layers, backbone=args.backbone,
         hidden_size=args.hidden_size, decoder=args.decoder,
         n_latent_split=args.n_latent_split, n_noise=4, dropout=args.dropout,
@@ -160,8 +164,11 @@ def main(argv=None):
 
     model = make_model(args, mean, std, palette)
     key = jax.random.PRNGKey(args.seed)
-    example = jnp.zeros((args.batch_size, n_frames, 59), jnp.float32)
-    params = model.init({"params": key, "noise": key}, example)
+    # ONE jitted init program (params are batch-size independent, so init at
+    # B=1): eager flax init dispatches hundreds of individually-compiled ops,
+    # which on a remote-compile runtime turns setup into tens of minutes
+    example = jnp.zeros((1, n_frames, 59), jnp.float32)
+    params = jax.jit(model.init)({"params": key, "noise": key}, example)
     n_params = sum(p.size for p in jax.tree.leaves(params))
 
     optimizer = optax.adam(args.lr)
@@ -202,6 +209,9 @@ def main(argv=None):
         print(f"resumed from {args.resume} at step {start_it}")
 
     batches = prefetch(train_ds.batches(args.batch_size, seed=args.seed))
+    print(f"training: {args.n_examples} examples, batch {args.batch_size}, "
+          f"{n_frames} frames/window", flush=True)
+    diag_apply = jax.jit(lambda p, x: model.apply(p, x, rngs={"noise": jax.random.PRNGKey(0)}))
     pending: list = []  # (iter, device loss) — fetched once per eval window
     t0 = time.time()
     val_loss = float("nan")
@@ -230,8 +240,9 @@ def main(argv=None):
                 from ..utils.plot import autocorrelation_grid
 
                 vb = next(val_ds.batches(min(args.batch_size, 4), shuffle=False))
-                lat, _ = model.apply(params, jnp.asarray(vb[0]),
-                                     rngs={"noise": jax.random.PRNGKey(0)})
+                # jitted apply: an eager forward here is hundreds of
+                # per-op dispatches on the tunneled runtime
+                lat, _ = diag_apply(params, jnp.asarray(vb[0]))
                 autocorrelation_grid(
                     {"inputs": np.asarray(vb[0][0]),
                      "latents": np.asarray(lat[0]).reshape(lat.shape[1], -1),
