@@ -42,8 +42,15 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def shard_batch(x: jax.Array, mesh: Mesh | None = None) -> jax.Array:
     """Shard the leading axis across the data axis (pads are caller's job;
-    the leading dim must divide the mesh size)."""
+    the leading dim must divide the mesh size).
+
+    On a single-device mesh this is an identity: sharding annotations add
+    nothing on one chip, but they route jit through the GSPMD partitioner,
+    whose compiles are far slower on remote-compile runtimes (a T=192
+    train step went 18 s unsharded vs minutes annotated)."""
     mesh = mesh or get_mesh()
+    if mesh.devices.size == 1:
+        return x
     if x.shape[0] % mesh.devices.size != 0:
         return x  # fall back to replication rather than erroring mid-render
     return jax.device_put(x, data_sharding(mesh, x.ndim))
@@ -51,5 +58,7 @@ def shard_batch(x: jax.Array, mesh: Mesh | None = None) -> jax.Array:
 
 def replicate(tree, mesh: Mesh | None = None):
     mesh = mesh or get_mesh()
+    if mesh.devices.size == 1:  # see shard_batch
+        return tree
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
