@@ -62,15 +62,27 @@ class WindowDataset:
     def __len__(self):
         return len(self.features)
 
-    def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True, drop_last: bool = True):
+    def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True,
+                drop_last: bool = True, loop: bool = True):
+        """Batch generator; infinite when ``loop`` (training), one epoch
+        otherwise (validation).  Datasets smaller than ``batch_size`` are
+        wrap-padded so a full batch always exists — without this, drop_last
+        on a small dataset made the epoch empty and a looping caller spun
+        forever in an empty generator (hit by val sets < batch_size)."""
         idx = np.arange(len(self))
         rng = np.random.RandomState(seed)
+        if len(idx) == 0:
+            raise ValueError("empty dataset")
+        if len(idx) < batch_size:
+            idx = np.tile(idx, int(np.ceil(batch_size / len(idx))))[:batch_size]
         while True:
             if shuffle:
                 rng.shuffle(idx)
             for i in range(0, len(idx) - (batch_size - 1 if drop_last else 0), batch_size):
                 sel = idx[i : i + batch_size]
                 yield (self.features[sel], self.latents[sel], *[n[sel] for n in self.noises])
+            if not loop:
+                return
 
 
 def prefetch(gen, depth: int = 2):

@@ -229,7 +229,7 @@ def main(argv=None):
                 writer.scalar(f"Loss/{args.loss}", v, step_i)
             pending = []
             vl, n = 0.0, 0
-            for vbatch in val_ds.batches(args.batch_size, shuffle=False):
+            for vbatch in val_ds.batches(args.batch_size, shuffle=False, loop=False):
                 vl += float(eval_step(params, tuple(jnp.asarray(b) for b in vbatch), key))
                 n += 1
                 if n * args.batch_size >= len(val_ds):
@@ -239,7 +239,9 @@ def main(argv=None):
             try:  # eval-time autocorrelation diagnostics (ssar/train.py:118-146)
                 from ..utils.plot import autocorrelation_grid
 
-                vb = next(val_ds.batches(min(args.batch_size, 4), shuffle=False))
+                # full batch so diag_apply shares ONE compiled shape across
+                # evals (the plot only reads row 0)
+                vb = next(val_ds.batches(args.batch_size, shuffle=False))
                 # jitted apply: an eager forward here is hundreds of
                 # per-op dispatches on the tunneled runtime
                 lat, _ = diag_apply(params, jnp.asarray(vb[0]))
