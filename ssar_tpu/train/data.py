@@ -62,6 +62,19 @@ class WindowDataset:
     def __len__(self):
         return len(self.features)
 
+    def index_batches(self, batch_size: int, seed: int = 0):
+        """Infinite stream of index vectors in the same order batches()
+        would visit — for the device-resident data path, where the arrays
+        live in HBM and only int32 indices cross the host boundary."""
+        idx = np.arange(len(self))
+        rng = np.random.RandomState(seed)
+        if len(idx) < batch_size:
+            idx = np.tile(idx, int(np.ceil(batch_size / len(idx))))[:batch_size]
+        while True:
+            rng.shuffle(idx)
+            for i in range(0, len(idx) - batch_size + 1, batch_size):
+                yield idx[i : i + batch_size]
+
     def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True,
                 drop_last: bool = True, loop: bool = True):
         """Batch generator; infinite when ``loop`` (training), one epoch

@@ -80,12 +80,25 @@ def make_train_step(model, optimizer, loss_mode: str):
         return params, opt_state, loss, key
 
     @jax.jit
+    def train_step_gather(params, opt_state, data, sel, key):
+        """Device-resident data path: `data` lives in HBM across steps (jit
+        args are passed by reference) and the batch is gathered INSIDE the
+        program.  The per-step host->device traffic is one int32 index
+        vector instead of the full batch — the upload of a (32, 192, 18,
+        512) target batch every step made training H2D-bound on slow
+        interconnects."""
+        batch = tuple(jnp.take(a, sel, axis=0) for a in data)
+        return train_step(params, opt_state, batch, key)
+
+    @jax.jit
     def eval_step(params, batch, key):
         inputs, latents, n4, n8, n16, n32 = batch
         preds_lat, preds_noise = model.apply(params, inputs, rngs={"noise": key})
         return supervised_loss(preds_lat, preds_noise, latents, [n4, n8, n16, n32])
 
-    return train_step, eval_step
+    return train_step, train_step_gather, eval_step
+
+
 
 
 class MetricsWriter:
@@ -173,7 +186,7 @@ def main(argv=None):
 
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
-    train_step, eval_step = make_train_step(model, optimizer, args.loss)
+    train_step, train_step_gather, eval_step = make_train_step(model, optimizer, args.loss)
 
     mesh = get_mesh()
     params = replicate(params, mesh)
@@ -208,16 +221,34 @@ def main(argv=None):
         start_it = int(restored.get("step", step))
         print(f"resumed from {args.resume} at step {start_it}")
 
-    batches = prefetch(train_ds.batches(args.batch_size, seed=args.seed))
+    # device-resident data when it fits in HBM on a single chip: arrays
+    # upload ONCE and each step sends only an int32 index vector; streaming
+    # a (B, T, 18, 512) target batch every step is H2D-bound on slow links.
+    # Multi-chip meshes keep the host path (per-chip batch shards).
+    train_arrays = (train_ds.features, train_ds.latents, *train_ds.noises)
+    data_bytes = sum(a.nbytes for a in train_arrays)
+    device_data = None
+    if mesh.devices.size == 1 and data_bytes < 4e9:
+        device_data = tuple(jnp.asarray(a) for a in train_arrays)
+        idx_stream = train_ds.index_batches(args.batch_size, seed=args.seed)
+    else:
+        batches = prefetch(train_ds.batches(args.batch_size, seed=args.seed))
     print(f"training: {args.n_examples} examples, batch {args.batch_size}, "
-          f"{n_frames} frames/window", flush=True)
+          f"{n_frames} frames/window, data "
+          f"{'device-resident' if device_data is not None else 'host-streamed'} "
+          f"({data_bytes/1e6:.0f} MB)", flush=True)
     diag_apply = jax.jit(lambda p, x: model.apply(p, x, rngs={"noise": jax.random.PRNGKey(0)}))
     pending: list = []  # (iter, device loss) — fetched once per eval window
     t0 = time.time()
     val_loss = float("nan")
     for it in range(start_it, args.n_examples, args.batch_size):
-        batch = tuple(shard_batch(jnp.asarray(b), mesh) for b in next(batches))
-        params, opt_state, loss, key = train_step(params, opt_state, batch, key)
+        if device_data is not None:
+            sel = jnp.asarray(next(idx_stream), jnp.int32)
+            params, opt_state, loss, key = train_step_gather(
+                params, opt_state, device_data, sel, key)
+        else:
+            batch = tuple(shard_batch(jnp.asarray(b), mesh) for b in next(batches))
+            params, opt_state, loss, key = train_step(params, opt_state, batch, key)
         # keep the loss ON DEVICE: a float() here would synchronise every
         # step, and on the tunneled runtime the ~25 ms round-trip dominates
         # the 13 ms step (measured 692 -> 2453 ex/s pipelined)

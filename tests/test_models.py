@@ -157,7 +157,7 @@ def test_training_step_decreases_loss(rng):
     params = model.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
     opt = optax.adam(2e-3)
     opt_state = opt.init(params)
-    train_step, _ = make_train_step(model, opt, "supervised")
+    train_step, _, _ = make_train_step(model, opt, "supervised")
 
     batch = tuple(jnp.asarray(b) for b in next(ds.batches(4, seed=0)))
     key = jax.random.PRNGKey(0)
@@ -184,7 +184,7 @@ def test_selfsupervised_and_ssabsdiff_steps(rng):
     opt = optax.adam(1e-3)
     batch = tuple(jnp.asarray(b) for b in next(ds.batches(4, seed=0)))
     for mode in ["selfsupervised", "ssabsdiff"]:
-        step, _ = make_train_step(model, opt, mode)
+        step, _, _ = make_train_step(model, opt, mode)
         p2, _, loss, _ = step(params, opt.init(params), batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(loss)), mode
 
