@@ -16,13 +16,15 @@ import numpy as np
 
 def bench_render(resolution=1024, batch_size=64, iters=8):
     # batch sweep on v5e (2026-08-16): B=32 -> 202-209 fps, B=64 -> 217 fps,
-    # B=128 fails to compile (HBM); 64 is the knee.
+    # B=128 fails to compile (HBM); 64 is the knee.  Noise pyramids are
+    # bf16: halves their HBM reads, 220 -> 240 fps measured (noise is
+    # random texture; precision there is imperceptible).
     from ssar_tpu.gan import stylegan2 as sg
 
     cfg = sg.StyleGAN2Config(resolution=resolution)
     params = sg.init_generator(jax.random.PRNGKey(0), cfg)
     latents = jax.random.normal(jax.random.PRNGKey(1), (batch_size, cfg.n_latent, 512))
-    noises = [jax.random.normal(jax.random.PRNGKey(i), (batch_size, h, w, 1))
+    noises = [jax.random.normal(jax.random.PRNGKey(i), (batch_size, h, w, 1), jnp.bfloat16)
               for i, (h, w) in enumerate(cfg.noise_shapes())]
 
     fwd = jax.jit(lambda p, l, n: sg.synthesis(p, l, n, cfg, dtype=jnp.bfloat16))
