@@ -54,6 +54,12 @@ def render_latents_to_video(
         if noises is not None:
             ns = []
             for n in noises:
+                if n is None:
+                    # patch declined this scale (reference patches return None
+                    # for unwanted scales, e.g. patches/examples/01_intro.py):
+                    # fall through to the synthesizer's stored noise
+                    ns.append(None)
+                    continue
                 if callable(n) and not isinstance(n, (np.ndarray, jax.Array)):
                     # lazy noise-module algebra (generate/noise.py): only the
                     # [i, i+b) window is ever materialised — a full-track
@@ -67,13 +73,14 @@ def render_latents_to_video(
                 ns.append(nn)
             kw["noises"] = ns
         frames = (synthesizer(L, **kw) + 1.0) / 2.0
-        frames = jnp.clip(frames, 0.0, 1.0)
         if postprocess_fn is not None:
             frames = postprocess_fn(frames)
         # quantise on device: the writer re-encodes to uint8 anyway, and u8
         # frames are 4x smaller both in HBM (two batches are alive under
-        # double-buffering) and across the device->host fetch
-        return (frames * 255.0 + 0.5).astype(jnp.uint8)
+        # double-buffering) and across the device->host fetch; clip AFTER
+        # postprocess_fn so out-of-range postprocess outputs saturate instead
+        # of wrapping around in the uint8 cast
+        return (jnp.clip(frames, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
     starts = list(range(0, T, batch_size))
     it = range(len(starts))
@@ -87,7 +94,7 @@ def render_latents_to_video(
 
     with VideoWriter(out_file, output_size, fps=fps, audio_file=audio_file,
                      audio_offset=audio_offset, audio_duration=audio_duration) as video:
-        pending = synth(starts[0])  # double buffer: one batch in flight
+        pending = synth(starts[0]) if starts else None  # double buffer: one batch in flight
         for j in it:
             nxt = synth(starts[j + 1]) if j + 1 < len(starts) else None
             host_frames = np.asarray(pending)  # blocks on batch j only

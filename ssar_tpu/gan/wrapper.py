@@ -139,7 +139,9 @@ class StyleGAN2Synthesizer:
             # store noise in the synthesis dtype: it is cast there anyway,
             # and bf16 pyramids halve their HBM reads (220 -> 240 fps at
             # 1024px B=64 measured; noise is random texture)
-            noises = [jnp.asarray(n, self.dtype) for n in noises]
+            # None entries (patch returned no noise for that scale) fall
+            # through to the synthesizer's stored per-layer noise
+            noises = [jnp.asarray(n, self.dtype) if n is not None else None for n in noises]
             n_used = self.n_noises_used
             noises = list(noises[:n_used]) + [None] * max(0, n_used - len(noises))
             pad = [None] * (self.config.num_layers - len(noises))

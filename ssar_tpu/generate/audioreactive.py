@@ -606,13 +606,23 @@ def render_patch(patch_module, audio, sr: int, fps: float = 24, palette=None,
         noises = []
         for i, (h, w) in enumerate(synthesizer.config.noise_shapes()[: synthesizer.n_noises_used]):
             n = patch_module.get_noise(h, w, scale=i, num_scales=synthesizer.n_noises_used, args=args)
-            if callable(n) and not isinstance(n, (np.ndarray, jax.Array)):
+            if n is None:
+                # reference patches return None for unwanted scales
+                # (ssar/patches/examples/01_intro.py et al.) — keep the slot
+                # and let the synthesizer fall back to its stored noise
+                noises.append(None)
+            elif callable(n) and not isinstance(n, (np.ndarray, jax.Array)):
                 noises.append(n)  # lazy Noise module, evaluated per render chunk
             else:
                 noises.append(np.asarray(n)[:, None] if np.asarray(n).ndim == 3 else np.asarray(n))
 
-    if hasattr(patch_module, "get_bends") and synthesizer is not None:
-        synthesizer.set_bends(patch_module.get_bends(args))
+    if synthesizer is not None:
+        if hasattr(patch_module, "get_bends"):
+            synthesizer.set_bends(patch_module.get_bends(args))
+        else:
+            # a synthesizer reused across render_patch calls must not keep the
+            # previous patch's bends installed
+            synthesizer.set_bends({})
 
     if synthesizer is not None and out_file is not None:
         from ..gan.render import render_latents_to_video

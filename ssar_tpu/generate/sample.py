@@ -103,8 +103,9 @@ def generate(audio_file: str | None = None, patch_file: str | None = None, seed:
         return (frames * 255.0 + 0.5).astype(jnp.uint8)
 
     starts = list(range(0, T - bs + 1, bs))
-    if starts[-1] != T - bs:
+    if starts and starts[-1] != T - bs:
         starts.append(T - bs)  # final chunk overlaps instead of going ragged
+    # T == 0 (zero-length audio slice): no chunks, writer produces an empty file
 
     Path(out_file).parent.mkdir(parents=True, exist_ok=True)
     patch.save(out_file.replace(".mp4", ".json"))

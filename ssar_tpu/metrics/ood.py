@@ -47,7 +47,7 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     mu1, mu2 = feats_a.mean(0), feats_b.mean(0)
     s1 = np.cov(feats_a, rowvar=False)
     s2 = np.cov(feats_b, rowvar=False)
-    covmean, _ = scipy.linalg.sqrtm(s1 @ s2, disp=False)
+    covmean = scipy.linalg.sqrtm(s1 @ s2)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(np.sum((mu1 - mu2) ** 2) + np.trace(s1 + s2 - 2 * covmean))

@@ -23,6 +23,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_warned_indivisible = False
+
+
 @lru_cache(maxsize=None)
 def get_mesh(n_devices: int | None = None) -> Mesh:
     devices = jax.devices()
@@ -52,7 +55,20 @@ def shard_batch(x: jax.Array, mesh: Mesh | None = None) -> jax.Array:
     if mesh.devices.size == 1:
         return x
     if x.shape[0] % mesh.devices.size != 0:
-        return x  # fall back to replication rather than erroring mid-render
+        # fall back to replication rather than erroring mid-render — but say
+        # so ONCE: silently losing data parallelism is an N-chip perf cliff
+        # that reads as "TPUs are slow"
+        global _warned_indivisible
+        if not _warned_indivisible:
+            _warned_indivisible = True
+            import warnings
+
+            warnings.warn(
+                f"shard_batch: leading dim {x.shape[0]} not divisible by mesh size "
+                f"{mesh.devices.size}; batch REPLICATED (no data parallelism). "
+                f"Pad the batch to a multiple of the mesh for full throughput.",
+                stacklevel=2)
+        return x
     return jax.device_put(x, data_sharding(mesh, x.ndim))
 
 

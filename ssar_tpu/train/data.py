@@ -75,6 +75,13 @@ class WindowDataset:
             for i in range(0, len(idx) - batch_size + 1, batch_size):
                 yield idx[i : i + batch_size]
 
+    def batches_from(self, idx_stream):
+        """Materialise batches for a stream of index vectors (resume path:
+        ``index_batches`` is fast-forwarded to the checkpointed position and
+        the remainder feeds this)."""
+        for sel in idx_stream:
+            yield (self.features[sel], self.latents[sel], *[n[sel] for n in self.noises])
+
     def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True,
                 drop_last: bool = True, loop: bool = True):
         """Batch generator; infinite when ``loop`` (training), one epoch

@@ -92,13 +92,65 @@ def make_train_step(model, optimizer, loss_mode: str):
 
     @jax.jit
     def eval_step(params, batch, key):
+        """Loss-mode-aware validation (ssar/train.py:91-148): the val curve
+        scores the SAME quantity the run optimises, plus supervised MSE as a
+        mode-independent diagnostic, a strided flat sample of the predicted
+        latents for the host-side Laplace-b fit (train_a2l.py:299-300), and
+        the flattened prediction sequence for FCD."""
         inputs, latents, n4, n8, n16, n32 = batch
         preds_lat, preds_noise = model.apply(params, inputs, rngs={"noise": key})
-        return supervised_loss(preds_lat, preds_noise, latents, [n4, n8, n16, n32])
+        mse = supervised_loss(preds_lat, preds_noise, latents, [n4, n8, n16, n32])
+        if loss_mode == "supervised":
+            mode_loss = mse
+        elif loss_mode == "selfsupervised":
+            preds = [preds_lat] + list(preds_noise)
+            mode_loss = jnp.mean(audio_reactive_loss(preds, [inputs]))
+        else:  # ssabsdiff
+            preds = [batch_absdiff(p)[..., None] for p in [preds_lat] + list(preds_noise)]
+            mode_loss = jnp.mean(audio_reactive_loss(preds, [inputs]))
+        flat = preds_lat.reshape(-1)
+        stride = max(1, flat.shape[0] // 8192)
+        lat_sample = flat[::stride][:8192]
+        fcd_seq = preds_lat.reshape(preds_lat.shape[0], preds_lat.shape[1], -1)
+        return mode_loss, mse, lat_sample, fcd_seq
 
     return train_step, train_step_gather, eval_step
 
 
+
+
+def _laplace_b(sample: np.ndarray) -> float:
+    """Laplace scale MLE of a flat sample (scipy.stats.laplace.fit semantics:
+    loc = median, b = mean |x - loc|; ssar/supervised/train_a2l.py:299-300)."""
+    sample = np.asarray(sample, np.float64)
+    return float(np.mean(np.abs(sample - np.median(sample))))
+
+
+def _synthetic_test_audio(duration: float, fps: int, seed: int = 0):
+    """Deterministic chirp + beat test clip for render-at-checkpoint when no
+    --test_audio is given (the reference hard-codes an author-local wav,
+    ssar/train.py:264-271)."""
+    sr = 1024 * fps
+    t = np.arange(int(duration * sr)) / sr
+    beat = (np.sin(2 * np.pi * 2.0 * t) > 0.95).astype(np.float32)
+    tone = np.sin(2 * np.pi * (220 + 110 * np.sin(2 * np.pi * 0.25 * t)) * t)
+    noise = np.random.RandomState(seed).randn(len(t)) * 0.05
+    return (0.6 * tone + 0.3 * beat + noise).astype(np.float32), sr
+
+
+def render_checkpoint_sample(model, params, args, out_file: str, gan_config=None) -> str:
+    """The reference renders an audio2video sample at every checkpoint
+    (ssar/train.py:353-362); this is the train->render integration point."""
+    from ..generate.audio2video import audio2video
+
+    audio, sr, audio_file = None, None, args.test_audio
+    if not audio_file:
+        audio, sr = _synthetic_test_audio(min(args.duration, 4), args.fps, args.seed)
+    size = (args.render_size, args.render_size)
+    return audio2video(model, params, audio_file, out_file, model_file=args.stylegan,
+                       output_size=size, fps=args.fps, batch_size=8, seed=args.seed,
+                       residual=args.residual, gan_config=gan_config,
+                       audio=audio, sr=sr)
 
 
 class MetricsWriter:
@@ -142,9 +194,24 @@ def main(argv=None):
     parser.add_argument("--out_dir", type=str, default="runs")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--resume", type=str, default=None,
-                        help="run dir to resume from (restores params + step)")
+                        help="run dir to resume from (restores params, optimizer, RNG key and step)")
+    parser.add_argument("--test_audio", type=str, default=None,
+                        help="audio file for the render-at-checkpoint sample")
+    parser.add_argument("--stylegan", type=str, default=None,
+                        help="StyleGAN2 checkpoint for checkpoint renders (.pt/.pkl/.npz)")
+    parser.add_argument("--render_size", type=int, default=256)
+    parser.add_argument("--render_at_ckpt", action=argparse.BooleanOptionalAction, default=True,
+                        help="render an audio2video sample at every checkpoint (ssar/train.py:353-362)")
+    parser.add_argument("--fcd", action=argparse.BooleanOptionalAction, default=True,
+                        help="compute Frechet Context Distance at each eval window (train_a2l.py:290-304)")
+    parser.add_argument("--config", type=str, default=None,
+                        help="JSON config file; CLI flags explicitly given override it")
     parser.add_argument("--smoke", action="store_true", help="tiny synthetic run")
     args = parser.parse_args(argv)
+    if args.config:
+        from ..utils.config import apply_config_file
+
+        args = apply_config_file(parser, args, args.config, argv)
 
     if args.smoke:  # shrink only values the user didn't set explicitly
         if args.n_examples == parser.get_default("n_examples"):
@@ -155,6 +222,8 @@ def main(argv=None):
             args.eval_every = 128
         if args.ckpt_every == parser.get_default("ckpt_every"):
             args.ckpt_every = 128
+        if args.render_size == parser.get_default("render_size"):
+            args.render_size = 64
 
     n_frames = args.duration * args.fps
     if args.cache_dir:
@@ -208,17 +277,35 @@ def main(argv=None):
 
     ckpt_mgr = ocp.CheckpointManager(log_dir.resolve() / "ckpt")
 
+    def ckpt_state(it):
+        # FULL training state — params, Adam moments, RNG key, step — so a
+        # resumed run continues bitwise where it left off (the reference
+        # persists {"model","optim","n_iter"}, ssar/train.py:345-352; round-1
+        # checkpoints silently re-initialised Adam on resume)
+        return {"params": params, "opt_state": opt_state, "key": key, "step": it}
+
     start_it = 0
     if args.resume:
         # explicit-schema restore (replaces the reference's pickle +
         # code-snapshot archaeology, SURVEY.md §5.4)
         prev = ocp.CheckpointManager(Path(args.resume).resolve() / "ckpt")
         step = prev.latest_step()
-        restored = prev.restore(step)
-        params = jax.tree.map(jnp.asarray, restored["params"])
-        params = replicate(params, mesh)
-        opt_state = optimizer.init(params)
-        start_it = int(restored.get("step", step))
+        try:
+            restored = prev.restore(step, args=ocp.args.StandardRestore(ckpt_state(0)))
+            params, opt_state = restored["params"], restored["opt_state"]
+            # round-trip through host so the key is uncommitted (a restored
+            # array is pinned to device 0, which conflicts with the
+            # mesh-replicated params inside jit)
+            key = jnp.asarray(np.asarray(restored["key"]))
+            start_it = int(restored["step"])
+        except BaseException:
+            # round-1 checkpoints hold only {params, step}: restore those and
+            # re-init the optimizer (and say so, rather than silently)
+            restored = prev.restore(step)
+            params = replicate(jax.tree.map(jnp.asarray, restored["params"]), mesh)
+            opt_state = optimizer.init(params)
+            start_it = int(restored.get("step", step))
+            print("WARNING: legacy checkpoint without optimizer state — Adam moments re-initialised")
         print(f"resumed from {args.resume} at step {start_it}")
 
     # device-resident data when it fits in HBM on a single chip: arrays
@@ -228,17 +315,59 @@ def main(argv=None):
     train_arrays = (train_ds.features, train_ds.latents, *train_ds.noises)
     data_bytes = sum(a.nbytes for a in train_arrays)
     device_data = None
+    n_skip = start_it // args.batch_size  # replay the stream to the resumed position
     if mesh.devices.size == 1 and data_bytes < 4e9:
         device_data = tuple(jnp.asarray(a) for a in train_arrays)
         idx_stream = train_ds.index_batches(args.batch_size, seed=args.seed)
+        for _ in range(n_skip):
+            next(idx_stream)
     else:
-        batches = prefetch(train_ds.batches(args.batch_size, seed=args.seed))
+        if n_skip and hasattr(train_ds, "index_batches"):
+            # skip index vectors, not materialised batches: fast-forwarding
+            # through gigabytes of data would stall resume for minutes
+            skip_idx = train_ds.index_batches(args.batch_size, seed=args.seed)
+            for _ in range(n_skip):
+                next(skip_idx)
+            raw_batches = train_ds.batches_from(skip_idx)
+        else:
+            raw_batches = train_ds.batches(args.batch_size, seed=args.seed)
+        batches = prefetch(raw_batches)
     print(f"training: {args.n_examples} examples, batch {args.batch_size}, "
           f"{n_frames} frames/window, data "
           f"{'device-resident' if device_data is not None else 'host-streamed'} "
           f"({data_bytes/1e6:.0f} MB)", flush=True)
     diag_apply = jax.jit(lambda p, x: model.apply(p, x, rngs={"noise": jax.random.PRNGKey(0)}))
+
+    # FCD context encoder, fit once on real val latent sequences
+    # (ssar/supervised/train_a2l.py:290-304 + context_fid.py:56-70)
+    fcd_encode, fcd_real = None, None
+    if args.fcd:
+        try:
+            from ..metrics.context_fid import context_fid, train_encoder
+
+            n_fit = min(len(val_ds), 64)
+            fcd_real = np.asarray(val_ds.latents[:n_fit]).reshape(n_fit, n_frames, -1).astype(np.float32)
+            fcd_encode = train_encoder(fcd_real, n_steps=40, features=16, embed_dim=32)
+        except Exception as e:  # FCD never blocks training
+            print(f"FCD encoder unavailable: {e}")
+
+    render_gan_config = None
+    if args.stylegan is None:
+        from ..gan.stylegan2 import StyleGAN2Config
+
+        res = 1 << int(np.ceil(np.log2(max(32, args.render_size))))
+        render_gan_config = StyleGAN2Config(resolution=res)
+
     pending: list = []  # (iter, device loss) — fetched once per eval window
+    flush_window = max(args.batch_size * 256, args.eval_every)
+
+    def flush_pending():
+        losses = [float(l) for _, l in pending]  # one sync per window
+        for (step_i, _), v in zip(pending, losses):
+            writer.scalar(f"Loss/{args.loss}", v, step_i)
+        pending.clear()
+        return losses
+
     t0 = time.time()
     val_loss = float("nan")
     for it in range(start_it, args.n_examples, args.batch_size):
@@ -255,18 +384,32 @@ def main(argv=None):
         pending.append((it, loss))
 
         if it % args.eval_every == 0:
-            losses = [float(l) for _, l in pending]  # one sync per window
-            for (step_i, _), v in zip(pending, losses):
-                writer.scalar(f"Loss/{args.loss}", v, step_i)
-            pending = []
-            vl, n = 0.0, 0
+            losses = flush_pending()
+            vl, vmse, n = 0.0, 0.0, 0
+            lat_samples, fake_seqs = [], []
             for vbatch in val_ds.batches(args.batch_size, shuffle=False, loop=False):
-                vl += float(eval_step(params, tuple(jnp.asarray(b) for b in vbatch), key))
+                mode_l, mse_l, lsamp, fseq = eval_step(
+                    params, tuple(jnp.asarray(b) for b in vbatch), key)
+                vl += float(mode_l)
+                vmse += float(mse_l)
+                lat_samples.append(np.asarray(lsamp))
+                if fcd_encode is not None and n * args.batch_size < 64:
+                    fake_seqs.append(np.asarray(fseq))
                 n += 1
                 if n * args.batch_size >= len(val_ds):
                     break
             val_loss = vl / max(n, 1)
             writer.scalar("Loss/val", val_loss, it)
+            writer.scalar("Loss/val_mse", vmse / max(n, 1), it)
+            # Laplace-b of predicted latents (train_a2l.py:299-300)
+            writer.scalar("Eval/laplace_b", _laplace_b(np.concatenate(lat_samples)), it)
+            if fcd_encode is not None and fake_seqs:
+                try:
+                    fake = np.concatenate(fake_seqs)
+                    fcd = context_fid(fcd_encode, fcd_real[: len(fake)], fake)
+                    writer.scalar("Eval/FCD", float(fcd), it)
+                except Exception as e:
+                    print(f"FCD skipped: {e}")
             try:  # eval-time autocorrelation diagnostics (ssar/train.py:118-146)
                 from ..utils.plot import autocorrelation_grid
 
@@ -287,12 +430,26 @@ def main(argv=None):
             train_loss = float(np.mean(losses)) if losses else float("nan")
             print(f"iter {it}  train {train_loss:.4f}  val {val_loss:.4f}  {rate:.1f} ex/s")
 
-        if it % args.ckpt_every == 0:
-            ckpt_mgr.save(it, args=ocp.args.StandardSave({"params": params, "step": it}))
+        elif len(pending) * args.batch_size >= flush_window:
+            # eval_every not aligned to batch_size multiples must not leave
+            # scalars buffered for the whole run (TensorBoard stays empty
+            # until the final drain otherwise)
+            flush_pending()
 
-    for step_i, l in pending:  # drain the last logging window
-        writer.scalar(f"Loss/{args.loss}", float(l), step_i)
-    ckpt_mgr.save(args.n_examples, args=ocp.args.StandardSave({"params": params, "step": args.n_examples}))
+        if it % args.ckpt_every == 0:
+            ckpt_mgr.save(it, args=ocp.args.StandardSave(ckpt_state(it)))
+            if args.render_at_ckpt:
+                ckpt_mgr.wait_until_finished()
+                try:  # render-at-checkpoint (ssar/train.py:353-362)
+                    out = render_checkpoint_sample(
+                        model, params, args, str(log_dir / f"sample_{it:08d}.mp4"),
+                        gan_config=render_gan_config)
+                    print(f"checkpoint render: {out}")
+                except Exception as e:
+                    print(f"checkpoint render skipped: {e}")
+
+    flush_pending()  # drain the last logging window
+    ckpt_mgr.save(args.n_examples, args=ocp.args.StandardSave(ckpt_state(args.n_examples)))
     ckpt_mgr.wait_until_finished()
     print(f"done: val_loss {val_loss:.4f}, checkpoints in {log_dir}/ckpt")
     return log_dir, val_loss

@@ -111,3 +111,41 @@ class Config:
         m, t = self.model, self.train
         return "_".join([m.backbone, t.loss, m.decoder, f"split{m.n_latent_split}",
                          f"hid{m.hidden_size}", f"layers{m.num_layers}", f"lr{t.lr}"])
+
+
+def _flatten(d: dict) -> dict:
+    """Sectioned Config dicts {"train": {"lr": ...}} flatten to {dest: value};
+    flat dicts pass through."""
+    out: dict = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out.update(v)
+        else:
+            out[k] = v
+    return out
+
+
+def apply_config_file(parser, args, path: str, argv=None):
+    """Overlay a JSON config file onto parsed argparse args.
+
+    Precedence: explicit CLI flag > config file > argparse default — so every
+    entry point can accept ``--config run.json`` with its existing flags as
+    thin overrides (SURVEY.md §5.6).  Accepts either a flat {dest: value}
+    dict or the sectioned Config format; unknown keys are reported, not
+    fatal (configs written by newer code must not brick older scripts).
+    """
+    import sys
+
+    data = _flatten(json.loads(Path(path).read_text()))
+    tokens = list(argv if argv is not None else sys.argv[1:])
+    given = {t[2:].split("=")[0].replace("-", "_") for t in tokens if t.startswith("--")}
+    for k, v in data.items():
+        if k == "config":
+            continue
+        if not hasattr(args, k):
+            print(f"config: ignoring unknown key {k!r}")
+            continue
+        if k in given:
+            continue
+        setattr(args, k, v)
+    return args

@@ -245,16 +245,48 @@ def test_hpcp_and_tempogram_ratio(rng):
     assert tr[4] == tr.max()  # ratio 1.0 dominates
 
 
-def test_train_resume(tmp_path):
+def test_train_resume_bitwise(tmp_path):
+    """A run interrupted at step 32 and resumed to 64 must land on exactly
+    the uninterrupted run's parameters: checkpoints persist params, Adam
+    moments, the RNG key AND the data-stream position (the reference saves
+    {"model","optim","n_iter"}, ssar/train.py:345-352)."""
+    import orbax.checkpoint as ocp
+
     from ssar_tpu.train.train import main as train_main
 
-    d1, v1 = train_main(["--smoke", "--backbone", "mlp", "--num_layers", "1",
-                         "--n_examples", "64", "--eval_every", "32", "--ckpt_every", "64",
-                         "--out_dir", str(tmp_path)])
-    d2, v2 = train_main(["--smoke", "--backbone", "mlp", "--num_layers", "1",
-                         "--n_examples", "128", "--eval_every", "32", "--ckpt_every", "64",
-                         "--out_dir", str(tmp_path), "--resume", str(d1)])
-    assert np.isfinite(v2)
+    common = ["--smoke", "--backbone", "mlp", "--num_layers", "1", "--hidden_size", "4",
+              "--eval_every", "32", "--no-render_at_ckpt", "--no-fcd"]
+    da, _ = train_main(common + ["--n_examples", "64", "--ckpt_every", "64",
+                                 "--out_dir", str(tmp_path / "a")])
+    db1, _ = train_main(common + ["--n_examples", "32", "--ckpt_every", "32",
+                                  "--out_dir", str(tmp_path / "b1")])
+    db2, _ = train_main(common + ["--n_examples", "64", "--ckpt_every", "64",
+                                  "--out_dir", str(tmp_path / "b2"), "--resume", str(db1)])
+
+    ra = ocp.CheckpointManager((da / "ckpt").resolve()).restore(64)
+    rb = ocp.CheckpointManager((db2 / "ckpt").resolve()).restore(64)
+    assert set(ra) >= {"params", "opt_state", "key", "step"}
+    for la, lb in zip(jax.tree.leaves(ra["params"]), jax.tree.leaves(rb["params"])):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for la, lb in zip(jax.tree.leaves(ra["opt_state"]), jax.tree.leaves(rb["opt_state"])):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(np.asarray(ra["key"]), np.asarray(rb["key"]))
+
+
+def test_train_renders_checkpoint_sample(tmp_path):
+    """Smoke train with render-at-checkpoint leaves an mp4 in the run dir
+    (ssar/train.py:353-362) and FCD/laplace_b scalars in metrics.csv."""
+    from ssar_tpu.train.train import main as train_main
+
+    d, v = train_main(["--smoke", "--backbone", "mlp", "--num_layers", "1",
+                       "--hidden_size", "4", "--n_examples", "32", "--eval_every", "32",
+                       "--ckpt_every", "32", "--render_size", "32",
+                       "--out_dir", str(tmp_path)])
+    assert np.isfinite(v)
+    assert list(d.glob("sample_*.mp4")), "no checkpoint render in run dir"
+    tags = {line.split(",")[1] for line in (d / "metrics.csv").read_text().splitlines()}
+    assert "Eval/laplace_b" in tags
+    assert "Eval/FCD" in tags
 
 
 def test_synthesis_return_features():
