@@ -68,14 +68,35 @@ def _constant_q_basis(sr: float, fmin: float, n_bins: int, bins_per_octave: int,
     return filters, lengths
 
 
+def _sparsify_rows(x: np.ndarray, quantile: float) -> np.ndarray:
+    """Zero basis entries below the per-row cumulative-magnitude threshold
+    (constantq.py:147-164).  The reference builds a sparse COO tensor; on TPU
+    the basis stays a dense matmul constant, but the *zeroing* is reproduced
+    exactly so the numerics match the torch reference bit-for-bit."""
+    if quantile <= 0:
+        return x
+    mags = np.abs(x)
+    norms = np.sum(mags, axis=1, keepdims=True)
+    mag_sort = np.sort(mags, axis=1)
+    cumulative = np.cumsum(mag_sort / norms, axis=1)
+    out = np.zeros_like(x)
+    for i in range(x.shape[0]):
+        j = int(np.argmin(cumulative[i] < quantile))  # first idx at/above quantile
+        keep = mags[i] >= mag_sort[i, j]
+        out[i, keep] = x[i, keep]
+    return out
+
+
 @lru_cache(maxsize=32)
 def _cqt_filter_fft(sr: float, fmin: float, n_bins: int, bins_per_octave: int,
-                    filter_scale: float = 1.0, gamma: float = 0.0):
+                    filter_scale: float = 1.0, gamma: float = 0.0,
+                    sparsity: float = 0.01):
     """FFT-domain basis (n_bins, n_fft//2 + 1) complex64 + n_fft."""
     basis, lengths = _constant_q_basis(sr, fmin, n_bins, bins_per_octave, filter_scale, gamma)
     n_fft = basis.shape[1]
     basis = basis * (lengths[:, None] / float(n_fft))
     fft_basis = np.fft.fft(basis, n=n_fft, axis=1)[:, : n_fft // 2 + 1]
+    fft_basis = _sparsify_rows(fft_basis, sparsity)
     return fft_basis.astype(np.complex64), n_fft
 
 

@@ -94,7 +94,7 @@ def drop_strength(audio: jax.Array, sr: int) -> jax.Array:
     return emphasize(gaussian_filter(rms(audio, sr), 10), strength=10, percentile=50)[:, None]
 
 
-def _chromagram_impl(audio: jax.Array, sr: int, tuning=None) -> jax.Array:
+def _chromagram_impl(audio: jax.Array, sr: int, tuning=None, method: str = "recursive") -> jax.Array:
     """Unjitted core: `tuning` may be None (device-estimated), a host float
     (static CQT plan), or a traced scalar (interpolated basis)."""
     h = harmonic(audio)
@@ -102,24 +102,26 @@ def _chromagram_impl(audio: jax.Array, sr: int, tuning=None) -> jax.Array:
         from .pitch import estimate_tuning_device
 
         tuning = estimate_tuning_device(h, sr)
-    return chroma_cens(h, sr, tuning=tuning).T
+    return chroma_cens(h, sr, tuning=tuning, method=method).T
 
 
-@partial(jax.jit, static_argnames=("sr", "tuning"))
-def chromagram(audio: jax.Array, sr: int, tuning: float | None = None) -> jax.Array:
+@partial(jax.jit, static_argnames=("sr", "tuning", "method"))
+def chromagram(audio: jax.Array, sr: int, tuning: float | None = None,
+               method: str = "recursive") -> jax.Array:
     """CENS chroma of the (re-)harmonic-separated audio, (T, 12) (audio.py:44-45).
 
     With ``tuning=None`` the deviation is estimated on-device (traced scalar
     -> interpolated CQT basis), avoiding any host sync inside the program.
     """
-    return _chromagram_impl(audio, sr, tuning)
+    return _chromagram_impl(audio, sr, tuning, method=method)
 
 
-@partial(jax.jit, static_argnames=("sr", "tuning"))
-def tonnetz(y: jax.Array, sr: int, chroma: jax.Array | None = None, tuning: float | None = None) -> jax.Array:
+@partial(jax.jit, static_argnames=("sr", "tuning", "method"))
+def tonnetz(y: jax.Array, sr: int, chroma: jax.Array | None = None, tuning: float | None = None,
+            method: str = "recursive") -> jax.Array:
     """Tonal centroid features, (T, 6) (audio.py:48-57)."""
     if chroma is None:
-        chroma = chromagram(y, sr, tuning=tuning).T  # (12, T)
+        chroma = chromagram(y, sr, tuning=tuning, method=method).T  # (12, T)
     else:
         chroma = chroma.T
     n = chroma.shape[0]
@@ -138,7 +140,7 @@ def tonnetz(y: jax.Array, sr: int, chroma: jax.Array | None = None, tuning: floa
 def mfcc(y: jax.Array, sr: int, n_mfcc: int = 20) -> jax.Array:
     """(T, 20) (audio.py:60-65)."""
     S = power_to_db(melspectrogram(y, sr))
-    M = dct(S.T).T[:n_mfcc]
+    M = dct(S.T, norm="ortho").T[:n_mfcc]
     return M.T
 
 
@@ -221,16 +223,16 @@ def _stage_spectral(audio: jax.Array, sr: int):
     return mfcc(audio, sr), spectral_contrast(audio, sr), spectral_flatness(audio, sr)
 
 
-@partial(jax.jit, static_argnames=("sr", "tuning"))
-def _stage_chroma(audio_harm: jax.Array, sr: int, tuning: float):
-    chroma = chromagram(audio_harm, sr, tuning=tuning)
+@partial(jax.jit, static_argnames=("sr", "tuning", "method"))
+def _stage_chroma(audio_harm: jax.Array, sr: int, tuning: float, method: str = "recursive"):
+    chroma = chromagram(audio_harm, sr, tuning=tuning, method=method)
     return chroma, tonnetz(audio_harm, sr, chroma=chroma)
 
 
-@partial(jax.jit, static_argnames=("sr",))
-def _stage_chroma_dev(audio_harm: jax.Array, sr: int, tuning: jax.Array):
+@partial(jax.jit, static_argnames=("sr", "method"))
+def _stage_chroma_dev(audio_harm: jax.Array, sr: int, tuning: jax.Array, method: str = "recursive"):
     """Device-tuned variant: `tuning` is a traced scalar, no host sync."""
-    chroma = _chromagram_impl(audio_harm, sr, tuning=tuning)
+    chroma = _chromagram_impl(audio_harm, sr, tuning=tuning, method=method)
     return chroma, tonnetz(audio_harm, sr, chroma=chroma)
 
 
@@ -285,10 +287,11 @@ def _stage_post(features: jax.Array, fps: int, clamp: bool, smooth: bool, emphas
     return features
 
 
-@partial(jax.jit, static_argnames=("sr", "fps", "clamp", "smooth", "emphasis", "tuning", "velocity"))
+@partial(jax.jit, static_argnames=("sr", "fps", "clamp", "smooth", "emphasis", "tuning", "velocity",
+                                   "cqt_method"))
 def audio2features(audio: jax.Array, sr: int, fps: int, clamp: bool = True, smooth: bool = True,
                    emphasis: bool = False, tuning: float | None = None,
-                   velocity: bool = False) -> jax.Array:
+                   velocity: bool = False, cqt_method: str = "recursive") -> jax.Array:
     """(T, 59) canonical feature stack (ssar/supervised/data.py:59-107).
 
     `audio` may be (L,) mono or (C, L); resampled to 1024 * fps internally.
@@ -324,9 +327,9 @@ def audio2features(audio: jax.Array, sr: int, fps: int, clamp: bool = True, smoo
         if seg.shape[0] < cap:
             seg = jnp.pad(seg, (0, cap - seg.shape[0]))
         tuning_arr = estimate_tuning_device(seg, sr, bins_per_octave=36)
-        chroma, ton = _stage_chroma_dev(audio_harm, sr, tuning_arr)
+        chroma, ton = _stage_chroma_dev(audio_harm, sr, tuning_arr, method=cqt_method)
     else:
-        chroma, ton = _stage_chroma(audio_harm, sr, float(tuning))
+        chroma, ton = _stage_chroma(audio_harm, sr, float(tuning), method=cqt_method)
     ons, ons_l, ons_m, ons_h, pls = _stage_onsets(audio_perc, sr)
     rms_envs = _stage_rms(audio_harm, audio, sr)
 

@@ -234,12 +234,19 @@ def spline_quantize(chroma: jax.Array) -> jax.Array:
 # ----------------------------------------------------------------- chroma --
 def chroma_cqt(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None = None,
                threshold: float | None = 0.0, tuning: float | None = None, n_chroma: int = 12,
-               n_octaves: int = 7, bins_per_octave: int = 36, norm: bool = True) -> jax.Array:
-    """CQT -> chroma fold (ssar/features/rosa/spectral.py:286-325). (12, T)."""
+               n_octaves: int = 7, bins_per_octave: int = 36, norm: bool = True,
+               method: str = "recursive") -> jax.Array:
+    """CQT -> chroma fold (ssar/features/rosa/spectral.py:286-325). (12, T).
+
+    `method="recursive"` reproduces the reference's octave-halving CQT
+    bit-for-bit (parity-verified vs the numpy oracle, tests/test_parity_oracle.py);
+    "direct" is the grouped-octave formulation (fewer sequential stages,
+    ~0.3% mean deviation from the reference in raw CQT bins).
+    """
     from .constantq import cqt  # local import to avoid a cycle
 
     C = jnp.abs(cqt(y, sr=sr, hop_length=hop_length, fmin=fmin, n_bins=n_octaves * bins_per_octave,
-                    bins_per_octave=bins_per_octave, tuning=tuning))
+                    bins_per_octave=bins_per_octave, tuning=tuning, method=method))
     fold = jnp.asarray(cq_to_chroma_matrix(C.shape[0], bins_per_octave=bins_per_octave,
                                            n_chroma=n_chroma, fmin=fmin))
     chroma = jnp.matmul(fold, C, precision=HIGHEST)
@@ -253,7 +260,7 @@ def chroma_cqt(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None
 def chroma_cqt_device_tuned(y: jax.Array, sr: int, tuning: jax.Array, hop_length: int = 1024,
                             fmin: float | None = None, n_chroma: int = 12, n_octaves: int = 7,
                             bins_per_octave: int = 36, threshold: float | None = 0.0,
-                            norm: bool = True) -> jax.Array:
+                            norm: bool = True, method: str = "recursive") -> jax.Array:
     """chroma_cqt with the tuning correction applied ON DEVICE.
 
     The reference bakes tuning into the CQT filter frequencies
@@ -276,7 +283,7 @@ def chroma_cqt_device_tuned(y: jax.Array, sr: int, tuning: jax.Array, hop_length
     fmin_fine = fmin * 2.0 ** (-1.0 / fine_bpo)
 
     C_fine = jnp.abs(cqt(y, sr=sr, hop_length=hop_length, fmin=fmin_fine, n_bins=n_fine,
-                         bins_per_octave=fine_bpo, tuning=0.0))
+                         bins_per_octave=fine_bpo, tuning=0.0, method=method))
 
     # coarse bin k at tuning tau sits at fine index 2k + 1 + 2*tau
     idx = 2.0 * jnp.arange(n_bins) + 1.0 + 2.0 * tuning
@@ -296,7 +303,8 @@ def chroma_cqt_device_tuned(y: jax.Array, sr: int, tuning: jax.Array, hop_length
 
 def chroma_cens(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | None = None,
                 tuning=None, n_chroma: int = 12, n_octaves: int = 7,
-                bins_per_octave: int = 36, win_len_smooth: int = 41) -> jax.Array:
+                bins_per_octave: int = 36, win_len_smooth: int = 41,
+                method: str = "recursive") -> jax.Array:
     """Chroma energy-normalised statistics (ssar/features/rosa/spectral.py:239-280). (12, T).
 
     `tuning` may be a host float (static basis, reference-exact) or a traced
@@ -305,10 +313,12 @@ def chroma_cens(y: jax.Array, sr: int, hop_length: int = 1024, fmin: float | Non
     if isinstance(tuning, jax.Array) and getattr(tuning, "ndim", None) == 0:
         chroma = chroma_cqt_device_tuned(y, sr, tuning, hop_length=hop_length, fmin=fmin,
                                          n_chroma=n_chroma, n_octaves=n_octaves,
-                                         bins_per_octave=bins_per_octave, norm=False)
+                                         bins_per_octave=bins_per_octave, norm=False,
+                                         method=method)
     else:
         chroma = chroma_cqt(y, sr, hop_length=hop_length, fmin=fmin, bins_per_octave=bins_per_octave,
-                            tuning=tuning, n_chroma=n_chroma, n_octaves=n_octaves, norm=False)
+                            tuning=tuning, n_chroma=n_chroma, n_octaves=n_octaves, norm=False,
+                            method=method)
     # eps guard: silent frames (e.g. zero-padded chunk halos in SP mode)
     # must stay finite rather than 0/0
     chroma = chroma / (jnp.linalg.norm(chroma, ord=1, axis=0) + 1e-20)
