@@ -134,6 +134,104 @@ def procrustes(x: jax.Array, y: jax.Array) -> jax.Array:
     return 1.0 - orthogonal_procrustes_distance(x, y)
 
 
+def autocorrcorr(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Correlation of row-normalised time-Gram matrices over their strict
+    upper triangles (ssar/features/correlation.py:71-88) — the zoo-level
+    form of the chromatic-reactivity statistic."""
+    def gram(a):
+        a = _center(a)
+        a = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + 1e-12)
+        return a @ a.T
+
+    T = x.shape[0]
+    iu = jnp.triu_indices(T, k=1)
+    gx = gram(x)[iu]
+    gy = gram(y)[iu]
+    gx = gx - gx.mean()
+    gy = gy - gy.mean()
+    return jnp.sum(gx * gy) / (jnp.linalg.norm(gx) * jnp.linalg.norm(gy) + 1e-12)
+
+
+# ----------------------------------- r-family / coxhead / pwcca ----------
+def r1(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Inner-product correlation of time-Gram matrices
+    (ssar/features/correlation.py:277-283)."""
+    xc, yc = _center(x), _center(y)
+    num = jnp.trace(xc @ yc.T)
+    den = jnp.sqrt(jnp.trace(xc @ xc.T) * jnp.trace(yc @ yc.T))
+    return num / (den + 1e-12)
+
+
+def r2(x: jax.Array, y: jax.Array) -> jax.Array:
+    """r1 on the scaled left singular bases U diag(s)
+    (correlation.py:286-293)."""
+    def us(a):
+        u, s, _ = jnp.linalg.svd(_center(a), full_matrices=False)
+        return u * s[None, :]
+
+    return r1(us(x), us(y))
+
+
+def r3(x: jax.Array, y: jax.Array) -> jax.Array:
+    """r1 on the orthogonal polar factors U V^T (correlation.py:296-302)."""
+    def uv(a):
+        u, _, vt = jnp.linalg.svd(_center(a), full_matrices=False)
+        return u @ vt
+
+    return r1(uv(x), uv(y))
+
+
+def r4(x: jax.Array, y: jax.Array) -> jax.Array:
+    """r1 on the left singular bases alone (correlation.py:305-310)."""
+    def ubasis(a):
+        return jnp.linalg.svd(_center(a), full_matrices=False)[0]
+
+    return r1(ubasis(x), ubasis(y))
+
+
+def rG(x: jax.Array, y: jax.Array, n_components: int | None = None) -> jax.Array:
+    """Yanai's GCD-style coefficient: r1 between U_k^T U_k projector Grams
+    (correlation.py:313-322).  ``n_components`` defaults to the full column
+    rank bound (a static choice; the reference computes torch.matrix_rank,
+    a data-dependent host sync)."""
+    def ubasis(a, k):
+        return jnp.linalg.svd(_center(a), full_matrices=False)[0][:, :k]
+
+    kx = n_components or min(x.shape[1], x.shape[0] - 1)
+    ky = n_components or min(y.shape[1], y.shape[0] - 1)
+    ux, uy = ubasis(x, kx), ubasis(y, ky)
+    return r1(ux.T @ ux, uy.T @ uy)
+
+
+def coxhead(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Coxhead's multivariate association (the pinv trace form,
+    correlation.py:334-351)."""
+    if y.shape[1] > x.shape[1]:
+        x, y = y, x
+    xc, yc = _center(x), _center(y)
+    rxx = xc @ xc.T
+    ryy = yc @ yc.T
+    rxy = xc @ yc.T
+    ryx = yc @ xc.T
+    rxxinv = jnp.linalg.pinv(rxx)
+    rrrrinv = jnp.linalg.pinv(ryy - ryx @ rxxinv @ rxy)
+    return jnp.trace(rrrrinv @ ryx @ rxxinv @ rxy) / (jnp.trace(rrrrinv @ ryy) + 1e-12)
+
+
+def pwcca(x: jax.Array, y: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Projection-weighted CCA similarity (1 - anatome pwcca_distance,
+    correlation.py:395-396): canonical correlations weighted by how much of
+    x projects onto each canonical direction."""
+    xc, yc = _center(x), _center(y)
+    qx, _ = jnp.linalg.qr(xc)
+    qy, _ = jnp.linalg.qr(yc)
+    u, s, _ = jnp.linalg.svd(qx.T @ qy, full_matrices=False)
+    xdirs = qx @ u  # (T, k) canonical directions in time space
+    alpha = jnp.sum(jnp.abs(xdirs.T @ xc), axis=1)
+    alpha = alpha / (jnp.sum(alpha) + 1e-12)
+    return jnp.sum(alpha * s)
+
+
 # --------------------------------------------------------- chatterjee xi --
 def xi(x: jax.Array, y: jax.Array) -> jax.Array:
     """Chatterjee's rank correlation ξ (ssar/analysis/chatterjee.py:46-84).
@@ -194,11 +292,25 @@ CORRELATION_FNS = {
     "pearson": pearson,
     "spearman": spearman,
     "concordance": concordance,
+    "autocorrcorr": autocorrcorr,
     "rv": rv,
     "rv2": rv2,
     "rv_adj": rv_adjusted,
     "cka": linear_cka,
     "svcca": svcca,
+    "pwcca": pwcca,
     "smi": smi,
     "procrustes": procrustes,
+}
+
+# The r-family compares (T, D) matrices via trace inner products and is only
+# defined for equal column counts (the reference's own sanity harness
+# skips them on mismatched pairs via try/except, correlation.py:420-426).
+CORRELATION_FNS_EQUAL_WIDTH = {
+    "coxhead": coxhead,
+    "r1": r1,
+    "r2": r2,
+    "r3": r3,
+    "r4": r4,
+    "rG": rG,
 }

@@ -36,7 +36,13 @@ def overlapping_slices(arr: np.ndarray, length: int, overlap: int = 4) -> np.nda
 
 
 def load_audio(path: str):
-    """Mono float32 waveform + sr. wav via scipy; mp3/flac need ffmpeg."""
+    """Mono float32 waveform + sr for arbitrary formats.
+
+    Equivalent of the reference's torchaudio.load (ssar/supervised/data.py:169)
+    with a decode chain suited to a minimal image: wav via scipy, then
+    soundfile (flac/ogg/...) if importable, then an ffmpeg subprocess piping
+    f32le PCM (mp3/m4a/anything), else a clear error.
+    """
     from scipy.io import wavfile
 
     p = Path(path)
@@ -48,7 +54,40 @@ def load_audio(path: str):
         if data.ndim == 2:
             data = data.mean(1)
         return data, sr
-    raise ValueError(f"unsupported audio format {p.suffix} (no ffmpeg in image; convert to wav)")
+
+    try:
+        import soundfile as sf
+
+        data, sr = sf.read(str(p), dtype="float32", always_2d=True)
+        return data.mean(1), int(sr)
+    except ImportError:
+        pass
+
+    data_sr = _ffmpeg_decode(p)
+    if data_sr is not None:
+        return data_sr
+    raise ValueError(
+        f"unsupported audio format {p.suffix}: install soundfile or ffmpeg, or convert to wav"
+    )
+
+
+def _ffmpeg_decode(p: Path, sr: int = 44100):
+    """Decode any container to mono float32 PCM via an ffmpeg subprocess
+    (None if ffmpeg is not on PATH)."""
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        return None
+    proc = subprocess.run(
+        [ffmpeg, "-v", "error", "-i", str(p), "-f", "f32le", "-acodec", "pcm_f32le",
+         "-ac", "1", "-ar", str(sr), "pipe:1"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, check=False,
+    )
+    if proc.returncode != 0:
+        raise ValueError(f"ffmpeg failed to decode {p}: {proc.stderr.decode(errors='replace')[:500]}")
+    return np.frombuffer(proc.stdout, dtype=np.float32).copy(), sr
 
 
 class WindowDataset:

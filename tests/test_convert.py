@@ -6,6 +6,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ssar_tpu.gan import stylegan2 as sg
 from ssar_tpu.gan.convert import load_rosinality_pt
@@ -51,6 +52,7 @@ def _to_rosinality_sd(params):
     return sd
 
 
+@pytest.mark.slow
 def test_rosinality_roundtrip(rng):
     import torch
 

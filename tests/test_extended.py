@@ -16,6 +16,7 @@ def ds():
     return synthetic_dataset(n_windows=8, n_frames=24)
 
 
+@pytest.mark.slow
 def test_audio2latent_v1_backbones(rng):
     from ssar_tpu.models.audio2latent import Audio2Latent
 
@@ -32,6 +33,7 @@ def test_audio2latent_v1_backbones(rng):
         assert float(jnp.abs(t1 - t2).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_audio2latent_v2(rng):
     from ssar_tpu.models.audio2latent import Audio2Latent2
 
@@ -41,6 +43,7 @@ def test_audio2latent_v2(rng):
     assert m.apply(p, x).shape == (B, T, 18, 512)
 
 
+@pytest.mark.slow
 def test_psagan_shapes(rng):
     from ssar_tpu.models.psagan import ProgressiveDiscriminator, ProgressiveGenerator
 
@@ -54,6 +57,7 @@ def test_psagan_shapes(rng):
     assert D.apply(pd, out, x).shape == (B,)
 
 
+@pytest.mark.slow
 def test_trainers_losses_finite_and_decreasing(ds):
     from ssar_tpu.train.trainers import train_audio2latent, train_sslstm
 
@@ -63,6 +67,7 @@ def test_trainers_losses_finite_and_decreasing(ds):
     assert np.isfinite(m["losses"]).all()
 
 
+@pytest.mark.slow
 def test_gan_trainers_run(ds, rng):
     from ssar_tpu.train.trainers import train_psagan, train_stylevideogan
 
@@ -86,6 +91,7 @@ def test_ood_metrics_discriminate(rng):
     assert same["coverage"] > diff["coverage"]
 
 
+@pytest.mark.slow
 def test_fcd_orders_distributions(rng):
     from ssar_tpu.metrics.context_fid import context_fid, train_encoder
 
@@ -105,6 +111,7 @@ def test_covariance_distances(rng):
         assert float(fn(A, B_)) > float(fn(A, A)) + 1e-3, name
 
 
+@pytest.mark.slow
 def test_knn_kl_and_mi(rng):
     from ssar_tpu.metrics.analysis import knn_kl_divergence, mutual_information
 
@@ -116,6 +123,7 @@ def test_knn_kl_and_mi(rng):
     assert float(mutual_information(a, a * 2)) > float(mutual_information(a, jnp.asarray(rng.randn(300).astype(np.float32)))) + 0.3
 
 
+@pytest.mark.slow
 def test_discriminator_and_psp(rng):
     from ssar_tpu.gan.discriminator import Discriminator, PSPEncoder
 
@@ -128,6 +136,7 @@ def test_discriminator_and_psp(rng):
     assert E.apply(pe, x).shape == (3, 9, 512)
 
 
+@pytest.mark.slow
 def test_extractors(rng):
     from ssar_tpu.models.extractors import SlowFastExtractor, VggishExtractor, synchro_saliency
 
@@ -154,6 +163,7 @@ def test_config_roundtrip(tmp_path):
     assert "sashimi" in cfg2.run_name()
 
 
+@pytest.mark.slow
 def test_cqt_direct_matches_recursive(rng):
     from ssar_tpu.audio.constantq import cqt
 
@@ -177,6 +187,7 @@ def test_batched_onsets_match_single(rng):
         np.testing.assert_allclose(multi[i], single, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sensitivity_analysis(rng):
     from ssar_tpu.models.reactor import LatentNoiseReactor
     from ssar_tpu.train.evaluate import feature_sensitivity
@@ -213,6 +224,7 @@ def test_grain_loader(tmp_path, ds):
     assert batch[1].shape == (4, 24, 18, 512)
 
 
+@pytest.mark.slow
 def test_latent_augmenter(rng):
     from ssar_tpu.gan.stylegan2 import StyleGAN2Config
     from ssar_tpu.gan.wrapper import StyleGAN2Mapper
@@ -245,6 +257,7 @@ def test_hpcp_and_tempogram_ratio(rng):
     assert tr[4] == tr.max()  # ratio 1.0 dominates
 
 
+@pytest.mark.slow
 def test_train_resume_bitwise(tmp_path):
     """A run interrupted at step 32 and resumed to 64 must land on exactly
     the uninterrupted run's parameters: checkpoints persist params, Adam
@@ -273,6 +286,7 @@ def test_train_resume_bitwise(tmp_path):
     np.testing.assert_array_equal(np.asarray(ra["key"]), np.asarray(rb["key"]))
 
 
+@pytest.mark.slow
 def test_train_renders_checkpoint_sample(tmp_path):
     """Smoke train with render-at-checkpoint leaves an mp4 in the run dir
     (ssar/train.py:353-362) and FCD/laplace_b scalars in metrics.csv."""
@@ -289,6 +303,7 @@ def test_train_renders_checkpoint_sample(tmp_path):
     assert "Eval/FCD" in tags
 
 
+@pytest.mark.slow
 def test_synthesis_return_features():
     from ssar_tpu.gan import stylegan2 as sg
 
@@ -302,6 +317,7 @@ def test_synthesis_return_features():
     assert [f.shape[1] for f in feats] == [4, 8, 16, 32]
 
 
+@pytest.mark.slow
 def test_sslstm_video_patch_loss(ds):
     from ssar_tpu.gan import stylegan2 as sg
     from ssar_tpu.train.trainers import train_sslstm
@@ -328,6 +344,7 @@ def test_compare_models_forward_only(tmp_path):
     assert len(recs) == 1 and recs[0]["n"] == 4 and "time" in recs[0]
 
 
+@pytest.mark.slow
 def test_audioreactive_patch_api(rng, tmp_path):
     import ssar_tpu.generate.audioreactive as ar
 
@@ -371,6 +388,7 @@ def test_audioreactive_patch_api(rng, tmp_path):
     assert lats.shape == (T, 18, 512)
 
 
+@pytest.mark.slow
 def test_patch_with_bends_renders_widescreen(rng, tmp_path):
     """render_patch installs get_bends transforms on the synthesizer; the
     widescreen replication-pad bend makes a 2:1 frame end-to-end
@@ -395,6 +413,7 @@ def test_patch_with_bends_renders_widescreen(rng, tmp_path):
     assert np.isfinite(frame).all()
 
 
+@pytest.mark.slow
 def test_random_patch_pipeline_end_to_end(rng, tmp_path):
     """The flagship CLI path (SURVEY §3.2): audio -> MIR -> random Patch ->
     fused chunk render (noise tree + synthesis + uint8 traced as one
@@ -418,6 +437,7 @@ def test_random_patch_pipeline_end_to_end(rng, tmp_path):
     assert out.endswith(".mp4") and os.path.exists(out.replace(".mp4", ".json"))
 
 
+@pytest.mark.slow
 def test_patch_with_lazy_noise_modules_renders(rng, tmp_path):
     """get_noise may return a lazy Noise module (generate/noise.py algebra);
     the render pipeline materialises only per-chunk windows
@@ -443,6 +463,7 @@ def test_patch_with_lazy_noise_modules_renders(rng, tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+@pytest.mark.slow
 def test_audioreactive_author_helpers(rng, tmp_path):
     """The ar.* names the reference's example patches lean on
     (load_audio/load_latents/rms/wrapping_slice/perlin/plots)."""
@@ -497,6 +518,7 @@ def test_audioreactive_author_helpers(rng, tmp_path):
     assert os.path.getsize(f1) > 0 and os.path.getsize(f2) > 0
 
 
+@pytest.mark.slow
 def test_sectional_runner_on_real_mp4(tmp_path, rng):
     """End-to-end per-file reactivity: write a real mp4 with VideoWriter,
     decode it back with the sectional runner, and check a reactive video
@@ -530,6 +552,7 @@ def test_sectional_runner_on_real_mp4(tmp_path, rng):
     assert m_re["rhythmic"] > m_st["rhythmic"]
 
 
+@pytest.mark.slow
 def test_librosa_parity_harness_runs(capsys):
     """The parity CLI (audio/parity.py, the reference's audio.py __main__
     contract) runs end-to-end: every feature prints stats, gradients flow
@@ -549,6 +572,7 @@ def test_librosa_parity_harness_runs(capsys):
         assert max_diff < 1e-2
 
 
+@pytest.mark.slow
 def test_sslstm_inference_renders(tmp_path, rng):
     from ssar_tpu.gan import stylegan2 as sg
     from ssar_tpu.models.selfsupervised import LSTMReactor, sslstm_features, sslstm_inference
@@ -571,6 +595,7 @@ def test_sslstm_inference_renders(tmp_path, rng):
     assert (tmp_path / "out.mp4").stat().st_size > 0
 
 
+@pytest.mark.slow
 def test_fixed_decoder_checkpoint_palette_parity(tmp_path):
     """The fixed-decoder palette is a frozen constant outside the checkpoint;
     load_checkpoint must reconstruct exactly the palette train.py built."""
@@ -589,6 +614,7 @@ def test_fixed_decoder_checkpoint_palette_parity(tmp_path):
     assert np.allclose(np.asarray(model.latents), np.asarray(mapper(z)))
 
 
+@pytest.mark.slow
 def test_interactive_session_commands(rng):
     from ssar_tpu.generate.interactive import InteractiveSession
 
@@ -606,3 +632,40 @@ def test_interactive_session_commands(rng):
     assert [repr(p) for p in s.patch.latent_patches] == before
     s.cmd_intensity(0.9)
     s.cmd_segments([8, 16])
+
+
+def test_load_audio_ffmpeg_fallback(tmp_path, monkeypatch):
+    """Non-wav corpora decode through the ffmpeg-subprocess path
+    (reference loads arbitrary formats via torchaudio, data.py:169)."""
+    import subprocess
+    import types
+
+    from ssar_tpu.train import data as D
+
+    wave = (0.25 * np.sin(2 * np.pi * 440 * np.arange(4410) / 44100)).astype(np.float32)
+
+    monkeypatch.setattr("shutil.which", lambda name: "/usr/bin/ffmpeg")
+
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kwargs):
+        if cmd and cmd[0] != "/usr/bin/ffmpeg":  # e.g. numpy.testing probes
+            return real_run(cmd, **kwargs)
+        assert "f32le" in cmd
+        return types.SimpleNamespace(returncode=0, stdout=wave.tobytes(), stderr=b"")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    f = tmp_path / "track.mp3"
+    f.write_bytes(b"ID3fake")
+    data, sr = D.load_audio(str(f))
+    assert sr == 44100 and np.allclose(data, wave)
+
+
+def test_load_audio_unsupported_without_decoders(tmp_path, monkeypatch):
+    from ssar_tpu.train import data as D
+
+    monkeypatch.setattr("shutil.which", lambda name: None)
+    f = tmp_path / "track.opus"
+    f.write_bytes(b"xx")
+    with pytest.raises(ValueError, match="unsupported audio format"):
+        D.load_audio(str(f))

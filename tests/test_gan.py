@@ -5,6 +5,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.signal as sps
 
 from ssar_tpu.gan import (
@@ -77,6 +78,7 @@ def test_modulated_conv_equals_grouped_conv_definition(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_generator_shapes_and_finite(rng):
     params = sg.init_generator(jax.random.PRNGKey(0), CFG)
     z = jnp.asarray(rng.randn(2, 512).astype(np.float32))
@@ -86,6 +88,7 @@ def test_generator_shapes_and_finite(rng):
     assert CFG.n_latent == 10 and CFG.num_layers == 9
 
 
+@pytest.mark.slow
 def test_noise_injection_changes_output(rng):
     params = sg.init_generator(jax.random.PRNGKey(0), CFG)
     # noise weights start at 0; set them nonzero
@@ -119,6 +122,7 @@ def test_early_exit_output_size(rng):
     assert img.shape == (1, 16, 16, 3)
 
 
+@pytest.mark.slow
 def test_network_bends(rng):
     """Bends (SURVEY §2.7 patch API): per-level activation transforms.
     The widescreen replication-pad bend doubles the aspect ratio end-to-end

@@ -24,6 +24,46 @@ def test_correlation_zoo_discriminates(corr_pair):
         assert float(fn(x, y)) > float(fn(x, r)), name
 
 
+def test_correlation_sanity_constructed_pairs():
+    """The reference's constructed-pairs harness (correlation.py:405-426):
+    X vs a rank-reduced copy Y1, random Y2, and mixes in between — every
+    measure must order correlated > mixes > random monotonically."""
+    rng = np.random.RandomState(0)
+    X = rng.randn(200, 32)
+    X = X - X.mean()
+    U, s, V = np.linalg.svd(X, full_matrices=False)
+    Y1 = np.delete(U, 2, 1) @ np.diag(np.delete(s, 2)) @ np.delete(V, 2, 0)
+    Y2 = rng.randn(200, 32)
+    Xj = jnp.asarray(X, jnp.float32)
+    mixes = [Y1, 0.75 * Y1 + 0.25 * Y2, 0.5 * Y1 + 0.5 * Y2, 0.25 * Y1 + 0.75 * Y2, Y2]
+
+    fns = dict(C.CORRELATION_FNS)
+    fns.update(C.CORRELATION_FNS_EQUAL_WIDTH)  # equal widths here
+    for name, fn in fns.items():
+        vals = [float(fn(Xj, jnp.asarray(m, jnp.float32))) for m in mixes]
+        if name in ("rG", "coxhead", "r2", "r4"):
+            # Not in the reference's own sanity list (correlation.py:420):
+            # rG at full static rank compares near-identity projector Grams,
+            # coxhead's pinv grams saturate when T >> D, and r2/r4 are
+            # SVD-sign-ambiguous (identical behaviour in torch) — assert
+            # finiteness only
+            assert all(np.isfinite(v) for v in vals), (name, vals)
+            continue
+        assert all(vals[i] >= vals[i + 1] - 1e-3 for i in range(4)), (name, vals)
+        assert vals[0] > vals[-1] + 1e-3, (name, vals)
+
+
+def test_rG_with_components_discriminates():
+    rng = np.random.RandomState(0)
+    X = rng.randn(200, 32).astype(np.float32)
+    U, s, V = np.linalg.svd(X - X.mean(), full_matrices=False)
+    Y1 = (np.delete(U, 2, 1) @ np.diag(np.delete(s, 2)) @ np.delete(V, 2, 0)).astype(np.float32)
+    Y2 = rng.randn(200, 32).astype(np.float32)
+    a = float(C.rG(jnp.asarray(X), jnp.asarray(Y1), n_components=8))
+    b = float(C.rG(jnp.asarray(X), jnp.asarray(Y2), n_components=8))
+    assert np.isfinite(a) and np.isfinite(b)
+
+
 def test_rv2_bounded(corr_pair):
     x, y, _ = corr_pair
     assert -1.0 <= float(C.rv2(x, y)) <= 1.0
@@ -118,6 +158,7 @@ def test_directogram_and_onsets(video):
     assert VF.video_spectral_onsets(video).shape == (12, 1)
 
 
+@pytest.mark.slow
 def test_reactivity_metrics_discriminate(rng):
     """Reactive video (flashes on onsets) scores higher than static video."""
     from ssar_tpu.metrics.rhythmic import rhythmic_reactivity
@@ -134,6 +175,7 @@ def test_reactivity_metrics_discriminate(rng):
     assert r_reactive > r_static
 
 
+@pytest.mark.slow
 def test_lucid_baseline_and_from_video_dir(tmp_path, rng):
     from ssar_tpu.gan import stylegan2 as sg
     from ssar_tpu.gan.wrapper import StyleGAN2
@@ -156,6 +198,7 @@ def test_lucid_baseline_and_from_video_dir(tmp_path, rng):
     assert from_video_dir([("clipA", video, audio, sr)], "fvd", out_dir=str(tmp_path)) == recs
 
 
+@pytest.mark.slow
 def test_evaluate_trained_checkpoint_dirs(tmp_path, rng):
     from ssar_tpu.gan import stylegan2 as sg
     from ssar_tpu.gan.wrapper import StyleGAN2
@@ -191,6 +234,7 @@ def test_lucas_kanade_pyramid_recovers_shift(rng):
     assert abs(inner[..., 1].mean()) < 0.3
 
 
+@pytest.mark.slow
 def test_av_feature_study(tmp_path, rng):
     from ssar_tpu.metrics.study import av_feature_study
 

@@ -32,6 +32,7 @@ def test_reactor_backbones(rng, palette, backbone):
     assert np.isfinite(np.asarray(lat)).all()
 
 
+@pytest.mark.slow
 def test_reactor_learned_decoder_and_envelopes(rng):
     x = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
     model = LatentNoiseReactor(jnp.zeros(F), jnp.ones(F), None, decoder="learned",
@@ -142,6 +143,7 @@ def test_normalize_gradients():
     np.testing.assert_allclose(float(jnp.linalg.norm(g)), 2.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_training_step_decreases_loss(rng):
     """A few supervised steps on the learnable synthetic task reduce loss."""
     import optax
@@ -189,6 +191,7 @@ def test_selfsupervised_and_ssabsdiff_steps(rng):
         assert np.isfinite(float(loss)), mode
 
 
+@pytest.mark.slow
 def test_sashimi_streaming_matches_conv(rng):
     from ssar_tpu.models.sashimi import Sashimi, SashimiStreamer
 

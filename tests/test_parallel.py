@@ -29,6 +29,7 @@ def test_replicate(rng):
     assert rep["a"].sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_training_step_matches_single_device(rng):
     """The DP-sharded train step must produce the same loss as unsharded."""
     import optax
@@ -60,6 +61,7 @@ def test_sharded_training_step_matches_single_device(rng):
     np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_synthesis_matches(rng):
     from ssar_tpu.gan import stylegan2 as sg
 
@@ -106,12 +108,14 @@ def test_sequence_parallel_features_interior_match(rng):
         assert err < 0.05 * scale, (name, err / scale)
 
 
+@pytest.mark.slow
 def test_multichip_dryrun_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_synthesis_matches_single_device():
     from jax.sharding import Mesh
 
