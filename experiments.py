@@ -81,5 +81,12 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--grid", default="smoke", choices=list(GRIDS))
     p.add_argument("--out_dir", default="runs/experiments")
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON config file; explicit CLI flags override it")
     args = p.parse_args()
+    if args.config:
+        from ssar_tpu.utils.config import apply_config_file
+
+        args = apply_config_file(p, args, args.config, None)
+
     run_grid(args.grid, args.out_dir)

@@ -40,15 +40,15 @@ def onset_strength(y: jax.Array, sr: int, hop_length: int = 1024, n_fft: int = 2
     return env
 
 
-@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft", "aggregate"))
-def onset_strength_multi(signals: jax.Array, sr: int, hop_length: int = 1024, n_fft: int = 2048,
-                         aggregate: str = "mean") -> jax.Array:
-    """Batched onset strength: (N, L) -> (N, T).
+@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft"))
+def mel_power_multi(signals: jax.Array, sr: int, hop_length: int = 1024,
+                    n_fft: int = 2048) -> jax.Array:
+    """Batched mel POWER spectrograms (pre-dB): (N, L) -> (N, n_mels, T).
 
     One batched framing + rFFT + mel matmul for all band-filtered signals —
-    the TPU-shaped form of the reference's four sequential onset_strength
-    calls (ssar/supervised/data.py:76-79); numerics identical per signal
-    (power_to_db's top_db max is taken per signal)."""
+    the TPU-shaped front half of onset_strength.  Kept separate so the
+    sequence-parallel path can assemble whole-track mel specs before the
+    global power_to_db reference (features_sp two-pass design)."""
     from .spectral import hann_window, mel_basis
 
     N, L = signals.shape
@@ -60,9 +60,14 @@ def onset_strength_multi(signals: jax.Array, sr: int, hop_length: int = 1024, n_
     S = jnp.abs(jnp.fft.rfft(frames, axis=2)) ** 2  # (N, T+1, F)
     S = S[:, :-1]  # drop trailing frame (spectral.py:59-62 semantics)
     basis = jnp.asarray(mel_basis(sr, n_fft, fmax=11025.0))
-    M = jnp.einsum("mf,ntf->nmt", basis, S, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("mf,ntf->nmt", basis, S, precision=jax.lax.Precision.HIGHEST)
 
-    # per-signal power_to_db
+
+@partial(jax.jit, static_argnames=("hop_length", "n_fft", "aggregate"))
+def onset_env_from_melpower(M: jax.Array, hop_length: int = 1024, n_fft: int = 2048,
+                            aggregate: str = "mean") -> jax.Array:
+    """(N, n_mels, T) mel power -> (N, T) onset envelopes (beat.py:10-23 back
+    half: per-signal power_to_db, positive flux, band aggregate, lag shift)."""
     log_spec = 10.0 * jnp.log10(jnp.maximum(1e-10, M))
     log_spec = jnp.maximum(log_spec, jnp.max(log_spec, axis=(1, 2), keepdims=True) - 80.0)
 
@@ -74,6 +79,16 @@ def onset_strength_multi(signals: jax.Array, sr: int, hop_length: int = 1024, n_
     pad_width = 1 + n_fft // (2 * hop_length)
     env = jnp.pad(env, ((0, 0), (pad_width, 0)))[:, : log_spec.shape[2]]
     return env
+
+
+@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft", "aggregate"))
+def onset_strength_multi(signals: jax.Array, sr: int, hop_length: int = 1024, n_fft: int = 2048,
+                         aggregate: str = "mean") -> jax.Array:
+    """Batched onset strength: (N, L) -> (N, T); numerics identical per
+    signal to four sequential onset_strength calls
+    (ssar/supervised/data.py:76-79)."""
+    M = mel_power_multi(signals, sr, hop_length=hop_length, n_fft=n_fft)
+    return onset_env_from_melpower(M, hop_length=hop_length, n_fft=n_fft, aggregate=aggregate)
 
 
 def fourier_tempo_frequencies(sr: int, win_length: int = 1024, hop_length: int = 1024) -> jax.Array:
@@ -92,7 +107,17 @@ def plp(y: jax.Array, sr: int, hop_length: int = 1024, win_length: int = 1024,
         tempo_min: float | None = 60, tempo_max: float | None = 180) -> jax.Array:
     """Predominant local pulse, normalised to [0, 1], shape (T,) (beat.py:41-75)."""
     onset_env = onset_strength(y, sr, hop_length=hop_length, aggregate="median")
+    return plp_from_onset_env(onset_env, sr, hop_length=hop_length, win_length=win_length,
+                              tempo_min=tempo_min, tempo_max=tempo_max)
 
+
+@partial(jax.jit, static_argnames=("sr", "hop_length", "win_length", "tempo_min", "tempo_max"))
+def plp_from_onset_env(onset_env: jax.Array, sr: int, hop_length: int = 1024,
+                       win_length: int = 1024, tempo_min: float | None = 60,
+                       tempo_max: float | None = 180) -> jax.Array:
+    """PLP back half (beat.py:47-75), exposed so the sequence-parallel path
+    can run it on the *assembled whole-track* envelope (the tempogram's
+    1024-frame window far exceeds any practical SP halo)."""
     max_win = min(onset_env.shape[0], win_length)
     ftgram = fourier_tempogram(onset_env, sr=sr, hop_length=hop_length, win_length=max_win)
     tempo_frequencies = fourier_tempo_frequencies(sr=sr, hop_length=hop_length, win_length=max_win)

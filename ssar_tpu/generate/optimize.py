@@ -336,7 +336,14 @@ def main(argv=None):
     p.add_argument("--n_steps", type=int, default=512)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON config file; explicit CLI flags override it")
     args = p.parse_args(argv)
+    if args.config:
+        from ..utils.config import apply_config_file
+
+        args = apply_config_file(p, args, args.config, argv)
+
 
     if args.smoke:
         sr = 1024 * 12

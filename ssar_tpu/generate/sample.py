@@ -142,7 +142,14 @@ def main(argv=None):
     p.add_argument("--model_file", type=str, default=None)
     p.add_argument("--out_dir", type=str, default="output")
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON config file; explicit CLI flags override it")
     args = p.parse_args(argv)
+    if args.config:
+        from ..utils.config import apply_config_file
+
+        args = apply_config_file(p, args, args.config, argv)
+
 
     if args.smoke:
         fps, secs = 12, 4

@@ -2,23 +2,28 @@
 
 The reference handles long tracks by slicing overlapping windows on one GPU
 (SURVEY.md §5.7); the TPU-native scaling axis for minutes-long tracks is
-SP — shard the track across chips (SURVEY.md §2.8):
+SP — shard the track across chips (SURVEY.md §2.8) with a TWO-PASS design
+that preserves the reference's whole-track semantics:
 
-- the waveform is split into per-device chunks with a halo (the receptive
-  field of the framewise ops: HPSS median 31 frames + smoothing),
-- a vmapped, jitted core computes *unclamped, unsmoothed* per-chunk
-  features with the chunk axis sharded over the mesh's data axis,
-- halos are trimmed, chunks concatenated, and the *global* percentile
-  clamps + gaussian smoothing run once over the assembled (T, 59) matrix
-  (tiny), preserving the reference's whole-track clamp semantics.
+Pass 1 (sharded, heavy): the waveform is split into per-device chunks with
+a halo covering every local receptive field (HPSS median 31 frames, STFT
+framing, IIR settle time ~ms), and a vmapped jitted core computes the
+frame-local features — mfcc, chroma, tonnetz, contrast, flatness — plus
+*raw per-track envelopes*: band mel POWER spectrograms (pre-dB) and band
+RMS.  The chunk axis is sharded over the mesh's data axis.
 
-Interior frames of the *local* features (mfcc, chroma, tonnetz, contrast,
-flatness, onsets, rms) match the unsharded pipeline to float precision
-(tests/test_parallel.py).  Documented deviations: features with whole-track
-normalisation context — PLP's tempogram peak masking and drop-strength's
-global min/max emphasis — use chunk-local context in SP mode, and IIR band
-splits carry chunk-local state; frames within `halo` of a boundary see
-chunk-local STFT padding.
+Pass 2 (global, tiny): halos are trimmed and the envelopes are assembled
+into whole-track arrays (a few hundred KB for minutes of audio), on which
+every feature with whole-track context runs exactly as in the unsharded
+pipeline: power_to_db's global max reference + flux for the four onset
+bands, PLP's 1024-frame tempogram + global normalisation, drop-strength's
+global min/max/quantile emphasis, and the final percentile clamps +
+gaussian smoothing (ssar/supervised/data.py:92-103).
+
+Interior frames therefore match the unsharded pipeline to float precision
+for ALL 59 features (tests/test_parallel.py); the only residual deviation
+is chunk-local STFT/CQT padding within `halo` of a chunk boundary, which
+the halo absorbs before trimming.
 """
 from __future__ import annotations
 
@@ -30,25 +35,43 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..audio import features as FT
+from ..audio.beat import mel_power_multi, onset_env_from_melpower, plp_from_onset_env
+from ..audio.processing import emphasize, high_pass, low_pass
 from .mesh import get_mesh
 
-HALO_FRAMES = 48  # > hpss median (31) + gaussian radius (~10)
+# Receptive half-width of the heaviest local op chain: bottom-octave CQT
+# filters (~32 frames) + CENS temporal smoothing (21) + resampler kernels.
+HALO_FRAMES = 64
 
 
 @partial(jax.jit, static_argnames=("sr", "tuning"))
-def _chunk_core(chunks: jax.Array, sr: int, tuning: float) -> jax.Array:
-    """(N, Lc) waveform chunks -> (N, Tc, 59) raw features (no clamp/smooth)."""
+def _chunk_core(chunks: jax.Array, sr: int, tuning: float):
+    """(N, Lc) waveform chunks -> frame-local features + raw envelopes.
+
+    Returns (local (N, Tc, 46), mel_bands (N, 4, n_mels, Tc), rms (N, 8, Tc))
+    where local = [mfcc 20 | chroma 12 | tonnetz 6 | contrast 7 | flatness 1].
+    """
 
     def core(audio):
         harm, perc = FT._stage_hp.__wrapped__(audio)
         mf, contrast, flat = FT._stage_spectral.__wrapped__(audio, sr)
         chroma, ton = FT._stage_chroma.__wrapped__(harm, sr, tuning)
-        ons = FT._stage_onsets.__wrapped__(perc, sr)
-        rms_envs = FT._stage_rms.__wrapped__(harm, audio, sr)
-        single = [flat, ons[0][:, None], ons[1][:, None], ons[2][:, None], ons[3][:, None],
-                  ons[4][:, None], *rms_envs]
-        return jnp.concatenate([mf, chroma, ton, contrast]
-                               + [s.reshape(-1, 1) for s in single], axis=1)
+        local = jnp.concatenate([mf, chroma, ton, contrast, flat.reshape(-1, 1)], axis=1)
+
+        # raw onset-band mel power (percussive + low/mid/high) — dB'd globally
+        hp_band = high_pass(perc, sr)
+        bands = jnp.stack([perc, low_pass(perc, sr), low_pass(hp_band, sr), hp_band])
+        mel_bands = mel_power_multi(bands, sr)  # (4, n_mels, Tc)
+
+        # raw band RMS (harmonic x4, full x4) — drop-strength emphasis is global
+        hp_h = high_pass(harm, sr)
+        hp_a = high_pass(audio, sr)
+        rms_sigs = jnp.stack([
+            harm, low_pass(harm, sr), low_pass(hp_h, sr), hp_h,
+            audio, low_pass(audio, sr), low_pass(hp_a, sr), hp_a,
+        ])
+        rms = FT._rms_multi(rms_sigs)  # (8, Tc)
+        return local, mel_bands, rms
 
     return jax.vmap(core)(chunks)
 
@@ -57,8 +80,8 @@ def audio2features_sharded(audio, sr: int, fps: int, mesh=None, clamp: bool = Tr
                            smooth: bool = True, tuning: float | None = None) -> jax.Array:
     """(L,) waveform -> (T, 59), with per-chunk compute sharded over the mesh."""
     from ..audio.pitch import estimate_tuning
-    from ..ops.quantile import clamp_lower_percentile, clamp_peaks_percentile
     from ..ops.gaussian import gaussian_filter
+    from ..ops.quantile import clamp_lower_percentile, clamp_peaks_percentile
 
     mesh = mesh or get_mesh()
     n_dev = mesh.devices.size
@@ -73,22 +96,56 @@ def audio2features_sharded(audio, sr: int, fps: int, mesh=None, clamp: bool = Tr
     T = audio.shape[0] // 1024
     frames_per_chunk = int(np.ceil(T / n_dev))
     halo = min(HALO_FRAMES, frames_per_chunk)
-    Lc = (frames_per_chunk + 2 * halo) * 1024
+    chunk_frames = frames_per_chunk + 2 * halo
+    Lc = chunk_frames * 1024
 
-    # build overlapping chunks (host-side gather, static shapes)
-    pad = jnp.pad(audio[: T * 1024], (halo * 1024, halo * 1024 + frames_per_chunk * n_dev * 1024))
-    starts = np.arange(n_dev) * frames_per_chunk * 1024
-    chunks = jnp.stack([jax.lax.dynamic_slice(pad, (int(s),), (Lc,)) for s in starts])
+    if T <= chunk_frames:
+        # track fits in one chunk: SP buys nothing and chunk windows would
+        # overlap the track edges with halo context the unsharded pipeline
+        # doesn't have — run the reference-exact unsharded stack instead
+        kwargs = {} if tuning is None else {"tuning": float(tuning)}
+        return FT.audio2features(audio, sr, fps, clamp=clamp, smooth=smooth, **kwargs)
+
+    # Chunk windows are CLAMPED to the track extent: the first chunk starts
+    # at sample 0 and the last ends at T, so track-edge frames see exactly
+    # the unsharded pipeline's boundary semantics (biquad zero state, STFT/
+    # CQT reflect at the true track edge); interior chunks carry halos on
+    # both sides.  Per-chunk trim offsets recover frames [i*fpc, (i+1)*fpc).
+    track = audio[: T * 1024]
+    start_frames = [min(max(i * frames_per_chunk - halo, 0), T - chunk_frames)
+                    for i in range(n_dev)]
+    keep_off = [i * frames_per_chunk - s for i, s in zip(range(n_dev), start_frames)]
+    chunks = jnp.stack([jax.lax.dynamic_slice(track, (s * 1024,), (Lc,)) for s in start_frames])
 
     if tuning is None:
         tuning = estimate_tuning(FT.harmonic(chunks[0][: 4 * sr]), sr, bins_per_octave=36)
 
     chunks = jax.device_put(chunks, NamedSharding(mesh, P("data", None)))
-    feats = _chunk_core(chunks, sr, float(tuning))  # (N, Tc, 59)
+    local, mel_bands, rms = _chunk_core(chunks, sr, float(tuning))
 
-    # trim halos + reassemble on a single logical axis
-    feats = feats[:, halo : halo + frames_per_chunk]
-    feats = feats.reshape(-1, feats.shape[-1])[:T]
+    def trim_cat(x, time_axis):
+        """Trim per-chunk keep windows on `time_axis`, concatenate to (T, ...)."""
+        x = jnp.moveaxis(x, time_axis, 1)  # (N, Tc, ...)
+        parts = [jax.lax.dynamic_slice_in_dim(x[i], keep_off[i], frames_per_chunk, axis=0)
+                 for i in range(x.shape[0])]
+        return jnp.concatenate(parts, axis=0)[:T]  # (T, ...)
+
+    local = trim_cat(local, 1)                      # (T, 46)
+    M = jnp.moveaxis(trim_cat(mel_bands, 3), 0, -1)  # (4, n_mels, T)
+    R = trim_cat(jnp.moveaxis(rms, 1, 2), 1).T       # (8, T)
+
+    # ---- pass 2: whole-track-context features on assembled envelopes ----
+    onsets = onset_env_from_melpower(M, aggregate="mean")            # (4, T)
+    plp_env = onset_env_from_melpower(M[:1], aggregate="median")[0]  # (T,)
+    pulse = plp_from_onset_env(plp_env, sr)
+
+    rms_cols = [R[i][:, None] for i in range(4)]
+    drops = [emphasize(gaussian_filter(R[i][:, None], 10), strength=10, percentile=50)[:, None]
+             for i in range(4, 8)]
+
+    single = [local[:, 45:46], onsets[0][:, None], onsets[1][:, None], onsets[2][:, None],
+              onsets[3][:, None], pulse[:, None], *rms_cols, *drops]
+    feats = jnp.concatenate([local[:, :45]] + [s.reshape(-1, 1) for s in single], axis=1)
 
     if clamp:
         Pq = 2.5

@@ -669,3 +669,99 @@ def test_load_audio_unsupported_without_decoders(tmp_path, monkeypatch):
     f.write_bytes(b"xx")
     with pytest.raises(ValueError, match="unsupported audio format"):
         D.load_audio(str(f))
+
+
+@pytest.mark.slow
+def test_vggish_weight_converter_matches_torch_forward(tmp_path):
+    """convert_extractors round-trips a torchvggish-layout checkpoint and the
+    converted flax VGGish reproduces the torch forward pass end to end
+    (validates every kernel transpose incl. the flatten permutation)."""
+    import torch
+    import torch.nn.functional as TF
+
+    from ssar_tpu.models.convert_extractors import main as convert_main, load_converted
+    from ssar_tpu.models.extractors import VGGish
+
+    g = torch.Generator().manual_seed(0)
+    chans = [(1, 64), (64, 128), (128, 256), (256, 256), (256, 512), (512, 512)]
+    conv_idx = [0, 3, 6, 8, 11, 13]
+    sd = {}
+    for (ci, co), idx in zip(chans, conv_idx):
+        sd[f"features.{idx}.weight"] = torch.randn(co, ci, 3, 3, generator=g) * 0.05
+        sd[f"features.{idx}.bias"] = torch.randn(co, generator=g) * 0.05
+    dims = [(512 * 6 * 4, 4096), (4096, 4096), (4096, 128)]
+    for (di, do), idx in zip(dims, [0, 2, 4]):
+        sd[f"embeddings.{idx}.weight"] = torch.randn(do, di, generator=g) * 0.01
+        sd[f"embeddings.{idx}.bias"] = torch.randn(do, generator=g) * 0.01
+
+    ckpt = tmp_path / "vggish.pt"
+    out = tmp_path / "vggish.npz"
+    torch.save(sd, ckpt)
+    convert_main([str(ckpt), str(out), "--arch", "vggish"])
+
+    params = load_converted(str(out))
+    x = np.random.RandomState(1).randn(2, 96, 64).astype(np.float32)
+    ours = np.asarray(VGGish().apply(params, jnp.asarray(x)))
+
+    # torch forward of the same architecture
+    h = torch.from_numpy(x)[:, None]  # (N, 1, 96, 64)
+    pool_after = {0, 3, 8, 13}
+    for (ci, co), idx in zip(chans, conv_idx):
+        h = TF.relu(TF.conv2d(h, sd[f"features.{idx}.weight"], sd[f"features.{idx}.bias"], padding=1))
+        if idx in pool_after:
+            h = TF.max_pool2d(h, 2, 2)
+    h = h.flatten(1)
+    h = TF.relu(TF.linear(h, sd["embeddings.0.weight"], sd["embeddings.0.bias"]))
+    h = TF.relu(TF.linear(h, sd["embeddings.2.weight"], sd["embeddings.2.bias"]))
+    ref = TF.linear(h, sd["embeddings.4.weight"], sd["embeddings.4.bias"]).numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_slowfast_weight_converter_roundtrip(tmp_path):
+    import torch
+
+    from ssar_tpu.models.convert_extractors import main as convert_main, load_converted
+    from ssar_tpu.models.extractors import SlowFastExtractor
+
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    for prefix, w0 in (("slow", 32), ("fast", 8)):
+        sd[f"{prefix}_stem.weight"] = torch.randn(w0, 3, 1, 7, 7, generator=g) * 0.05
+        sd[f"{prefix}_stem.bias"] = torch.zeros(w0)
+        cin = w0
+        for i in range(3):
+            cout = w0 * 2 ** (i + 1)
+            sd[f"{prefix}_b{i}.weight"] = torch.randn(cout, cin, 3, 3, 3, generator=g) * 0.05
+            sd[f"{prefix}_b{i}.bias"] = torch.zeros(cout)
+            cin = cout
+    sd["head.weight"] = torch.randn(256, 32 * 8 + 8 * 8, generator=g) * 0.01
+    sd["head.bias"] = torch.zeros(256)
+
+    ckpt, out = tmp_path / "sf.pt", tmp_path / "sf.npz"
+    torch.save(sd, ckpt)
+    convert_main([str(ckpt), str(out), "--arch", "slowfast"])
+    ext = SlowFastExtractor(params=load_converted(str(out)))
+    emb = np.asarray(ext(np.random.RandomState(0).rand(16, 3, 32, 32).astype(np.float32)))
+    assert emb.shape == (1, 256) and np.isfinite(emb).all()
+
+
+def test_apply_config_file_precedence(tmp_path):
+    """--config JSON overlays argparse defaults; explicit flags win
+    (SURVEY.md 5.6 unified config: one mechanism for every entry point)."""
+    import argparse
+    import json as _json
+
+    from ssar_tpu.utils.config import apply_config_file
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fps", type=int, default=24)
+    parser.add_argument("--batch_size", type=int, default=16)
+    cfgf = tmp_path / "c.json"
+    cfgf.write_text(_json.dumps({"fps": 12, "batch_size": 4}))
+
+    argv = ["--batch_size", "8"]
+    args = parser.parse_args(argv)
+    args = apply_config_file(parser, args, str(cfgf), argv)
+    assert args.fps == 12          # from config (default not explicitly set)
+    assert args.batch_size == 8    # explicit flag beats config

@@ -76,36 +76,35 @@ def test_sharded_synthesis_matches(rng):
 
 
 @pytest.mark.slow
-def test_sequence_parallel_features_interior_match(rng):
-    """SP feature extraction: interior frames match the unsharded pipeline."""
+def test_sequence_parallel_features_match_all_columns(rng):
+    """SP feature extraction (two-pass): EVERY feature column — including
+    pulse and drop-strength, whose whole-track context now runs globally in
+    pass 2 — matches the unsharded pipeline, with full clamp+smooth
+    postprocessing on."""
     from ssar_tpu.audio.features import audio2features
     from ssar_tpu.parallel.features_sp import audio2features_sharded
 
-    L = SR * 4
+    # 16 s: long enough that the 2-device chunking is non-degenerate
+    # (each chunk [fpc=192 + 2*64 halo] < T=384, with a real interior
+    # boundary at frame 192 and both track edges chunk-aligned)
+    L = SR * 16
     t = np.arange(L) / SR
     au = (0.4 * np.sin(2 * np.pi * 440 * t)
           + 0.05 * rng.randn(L)).astype(np.float32)
     au[:: SR // 2] += 1.0
 
-    full = np.asarray(audio2features(jnp.asarray(au), SR, FPS, clamp=False, smooth=False, tuning=0.0))
+    full = np.asarray(audio2features(jnp.asarray(au), SR, FPS, tuning=0.0))
     sp = np.asarray(audio2features_sharded(jnp.asarray(au), SR, FPS, mesh=get_mesh(2),
-                                           clamp=False, smooth=False, tuning=0.0))
+                                           tuning=0.0))
     assert sp.shape == full.shape
-    T = full.shape[0]
-    # interior region of the first chunk (away from both boundaries)
-    interior = slice(8, T // 2 - 50)
-    # compare per feature *block* (columns of one family share a scale;
-    # per-column denominators blow up on inactive chroma bins of a pure tone).
-    # pulse (50) and drop-strength (55-58) use whole-track normalisation
-    # context and are documented SP deviations.
     blocks = {"mfcc": range(0, 20), "chroma": range(20, 32), "tonnetz": range(32, 38),
               "contrast": range(38, 45), "flatness": range(45, 46), "onsets": range(46, 50),
-              "rms": range(51, 55)}
+              "pulse": range(50, 51), "rms": range(51, 55), "drop_strength": range(55, 59)}
     for name, cols in blocks.items():
         cols = list(cols)
         scale = np.abs(full[:, cols]).max() + 1e-6
-        err = np.abs(sp[interior][:, cols] - full[interior][:, cols]).mean()
-        assert err < 0.05 * scale, (name, err / scale)
+        err = np.abs(sp[:, cols] - full[:, cols]).max()
+        assert err < 0.01 * scale, (name, err / scale)
 
 
 @pytest.mark.slow
