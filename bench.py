@@ -60,7 +60,72 @@ def bench_features(seconds=40, fps=24, iters=10):
     return seconds / ((time.time() - t0) / iters)
 
 
+def bench_longform(seconds=180, fps=24, resolution=1024, batch_size=64, out="/tmp/longform.mp4"):
+    """End-to-end long-form pipeline on one chip (reference behaviour:
+    ssar/test.py:341-391 generate_longform_vids): 3-minute track ->
+    audio2features -> GRU LatentNoiseReactor over the FULL track ->
+    chunked 1024px render -> mp4.  Returns per-stage seconds + e2e fps."""
+    from ssar_tpu.gan.render import render_latents_to_video
+    from ssar_tpu.gan.wrapper import StyleGAN2Synthesizer
+    from ssar_tpu.generate.audio2video import _duplicate_pyramid
+    from ssar_tpu.models.reactor import LatentNoiseReactor
+
+    sr = 1024 * fps
+    t = np.arange(sr * seconds) / sr
+    rng = np.random.RandomState(0)
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t * (1 + 0.05 * np.sin(2 * np.pi * t / 7)))
+             + 0.1 * rng.randn(len(t))).astype(np.float32)
+    audio[:: sr // 2] += 1.0
+
+    # fixed-chunk two-pass long-form path: one compile per chunk size,
+    # reused for any track length (the fused whole-track program would
+    # re-specialise per length and stall the remote compiler at T ~ 4000)
+    from ssar_tpu.parallel.features_sp import audio2features_long
+
+    t0 = time.time()
+    F = audio2features_long(jnp.asarray(audio), sr, fps)
+    np.asarray(F[0, 0])
+    t_feat = time.time() - t0
+
+    T = F.shape[0]
+    palette = jax.random.normal(jax.random.PRNGKey(0), (96, 18, 512))
+    model = LatentNoiseReactor(jnp.mean(F, 0), jnp.std(F, 0) + 1e-6, palette,
+                               backbone="gru", hidden_size=32, num_layers=4)
+    params = model.init({"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+                        F[None, :16])
+    t0 = time.time()
+    latents, noise = model.apply(params, F[None], rngs={"noise": jax.random.PRNGKey(3)})
+    np.asarray(latents[0, 0, 0, 0])
+    t_model = time.time() - t0
+
+    synthesizer = StyleGAN2Synthesizer(model_file=None, output_size=(resolution, resolution),
+                                       strategy="stretch", layer=0)
+    noise_nchw = [np.asarray(n[0])[:, None] for n in noise]
+    dup = _duplicate_pyramid(noise_nchw)[: synthesizer.n_noises_used]
+    t0 = time.time()
+    render_latents_to_video(synthesizer, latents[0], dup, out, fps=fps,
+                            output_size=(resolution, resolution), batch_size=batch_size)
+    t_render = time.time() - t0
+
+    total = t_feat + t_model + t_render
+    return {
+        "frames": int(T), "feat_s": round(t_feat, 2), "model_s": round(t_model, 2),
+        "render_s": round(t_render, 2), "e2e_fps": round(T / total, 2),
+        "x_realtime": round(seconds / total, 2),
+    }
+
+
 def main():
+    if "--longform" in sys.argv:
+        stats = bench_longform()
+        print(json.dumps({
+            "metric": "longform_180s_1024px_end_to_end_fps",
+            "value": stats["e2e_fps"],
+            "unit": "frames/sec",
+            "vs_baseline": round(stats["e2e_fps"] / 30.0, 3),
+            **stats,
+        }), flush=True)
+        return
     render_fps = bench_render()
     # headline line first — the feature bench may pay a long remote compile
     # on a cold cache and must not block the driver's metric capture

@@ -4,13 +4,15 @@ Equivalent of ssar/ood.py:80-206 (which calls maua.GAN.metrics.compute with
 a SwAV extractor).  The metric math is implemented natively in jnp; the
 feature extractor is pluggable:
 
-- pass any callable `(N, H, W, 3) [0,1] -> (N, D)` (e.g. a flax CNN with
-  loaded weights),
+- pass any callable `(N, H, W, 3) [0,1] -> (N, D)`; for reference-grade
+  absolute numbers use the native ResNet-50 SwAV trunk with converted
+  weights: ``models.resnet.swav_extractor(load_converted("swav.npz"))``
+  (convert offline: ``python -m ssar_tpu.models.convert_extractors
+  swav.pt swav.npz --arch resnet50``),
 - `default_extractor()` returns a fixed random-projection + pooling
   extractor — deterministic and distribution-sensitive, usable for
-  relative comparisons in this zero-egress image (no pretrained SwAV /
-  Inception weights available); swap in a real extractor for publishable
-  absolute numbers.
+  relative comparisons in this zero-egress image (no pretrained weights
+  available in-image).
 """
 from __future__ import annotations
 

@@ -16,6 +16,9 @@ Supported layouts:
 - ``slowfast``: a state_dict shape-matching models.extractors.SlowFastVideo
   (its simplified two-pathway family; the full pytorchvideo R50 must first
   be distilled/pruned to this family offline).
+- ``resnet50``: a torchvision-layout ResNet-50 trunk (conv1/bn1/layer{1..4})
+  — SwAV checkpoints included (module./backbone. prefixes stripped) ->
+  models.resnet.resnet50_features, the OOD FID/KID/PRDC extractor.
 
 Conventions: torch Conv2d kernels are OIHW -> flax HWIO; Conv3d OIDHW ->
 DHWIO; Linear (out, in) -> (in, out).  The first Linear after a flatten is
@@ -94,6 +97,41 @@ def convert_slowfast(state_dict: dict) -> dict:
     return {"params": params}
 
 
+def convert_resnet50(state_dict: dict) -> dict:
+    """torchvision/SwAV ResNet-50 state_dict -> models.resnet tree."""
+    from .resnet import BLOCKS
+
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("module.", "backbone.", "encoder."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = np.asarray(v)
+
+    def bn(prefix):
+        return {"scale": sd[f"{prefix}.weight"].astype(np.float32),
+                "bias": sd[f"{prefix}.bias"].astype(np.float32),
+                "mean": sd[f"{prefix}.running_mean"].astype(np.float32),
+                "var": sd[f"{prefix}.running_var"].astype(np.float32)}
+
+    params = {"stem": {"kernel": _conv2d(sd["conv1.weight"]).astype(np.float32)},
+              "bn1": bn("bn1")}
+    for li in range(4):
+        blocks = {}
+        for bi in range(BLOCKS[li]):
+            pre = f"layer{li + 1}.{bi}"
+            bp = {}
+            for ci in (1, 2, 3):
+                bp[f"conv{ci}"] = {"kernel": _conv2d(sd[f"{pre}.conv{ci}.weight"]).astype(np.float32)}
+                bp[f"bn{ci}"] = bn(f"{pre}.bn{ci}")
+            if f"{pre}.downsample.0.weight" in sd:
+                bp["downsample"] = {"kernel": _conv2d(sd[f"{pre}.downsample.0.weight"]).astype(np.float32)}
+                bp["downsample_bn"] = bn(f"{pre}.downsample.1")
+            blocks[str(bi)] = bp
+        params[f"layer{li + 1}"] = blocks
+    return params
+
+
 def flatten_tree(tree: dict, prefix: str = "") -> dict:
     out = {}
     for k, v in tree.items():
@@ -131,7 +169,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("ckpt", help="torch checkpoint (.pt/.pth state_dict)")
     p.add_argument("out", help="output .npz")
-    p.add_argument("--arch", choices=["vggish", "slowfast"], default="vggish")
+    p.add_argument("--arch", choices=["vggish", "slowfast", "resnet50"], default="vggish")
     args = p.parse_args(argv)
 
     import torch
@@ -143,7 +181,8 @@ def main(argv=None):
         sd = sd["state_dict"]
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
 
-    tree = convert_vggish(sd) if args.arch == "vggish" else convert_slowfast(sd)
+    tree = {"vggish": convert_vggish, "slowfast": convert_slowfast,
+            "resnet50": convert_resnet50}[args.arch](sd)
     save_converted(tree, args.out)
     n = sum(v.size for v in flatten_tree(tree).values())
     print(f"wrote {args.out}: {n:,} parameters ({args.arch})")

@@ -76,65 +76,32 @@ def _chunk_core(chunks: jax.Array, sr: int, tuning: float):
     return jax.vmap(core)(chunks)
 
 
-def audio2features_sharded(audio, sr: int, fps: int, mesh=None, clamp: bool = True,
-                           smooth: bool = True, tuning: float | None = None) -> jax.Array:
-    """(L,) waveform -> (T, 59), with per-chunk compute sharded over the mesh."""
-    from ..audio.pitch import estimate_tuning
+def _chunk_plan(T: int, n_chunks: int, halo_frames: int = HALO_FRAMES):
+    """Clamped chunk windows + per-chunk keep offsets (see module doc)."""
+    fpc = int(np.ceil(T / n_chunks))
+    halo = min(halo_frames, fpc)
+    chunk_frames = fpc + 2 * halo
+    starts = [min(max(i * fpc - halo, 0), T - chunk_frames) for i in range(n_chunks)]
+    keep = [i * fpc - st for i, st in zip(range(n_chunks), starts)]
+    return fpc, halo, chunk_frames, starts, keep
+
+
+def _assemble(local, mel_bands, rms, keep_off, fpc, T, sr, fps, clamp, smooth):
+    """Pass 2: trim keep windows, assemble whole-track envelopes, compute all
+    global-context features + postprocessing.  Inputs are (N, ...) stacks."""
     from ..ops.gaussian import gaussian_filter
     from ..ops.quantile import clamp_lower_percentile, clamp_peaks_percentile
 
-    mesh = mesh or get_mesh()
-    n_dev = mesh.devices.size
-    audio = jnp.asarray(audio, jnp.float32)
-    target_sr = fps * 1024
-    if sr != target_sr:
-        from ..ops.resample import resample
-
-        audio = resample(audio, int(sr), target_sr, lowpass_filter_width=6)
-        sr = target_sr
-
-    T = audio.shape[0] // 1024
-    frames_per_chunk = int(np.ceil(T / n_dev))
-    halo = min(HALO_FRAMES, frames_per_chunk)
-    chunk_frames = frames_per_chunk + 2 * halo
-    Lc = chunk_frames * 1024
-
-    if T <= chunk_frames:
-        # track fits in one chunk: SP buys nothing and chunk windows would
-        # overlap the track edges with halo context the unsharded pipeline
-        # doesn't have — run the reference-exact unsharded stack instead
-        kwargs = {} if tuning is None else {"tuning": float(tuning)}
-        return FT.audio2features(audio, sr, fps, clamp=clamp, smooth=smooth, **kwargs)
-
-    # Chunk windows are CLAMPED to the track extent: the first chunk starts
-    # at sample 0 and the last ends at T, so track-edge frames see exactly
-    # the unsharded pipeline's boundary semantics (biquad zero state, STFT/
-    # CQT reflect at the true track edge); interior chunks carry halos on
-    # both sides.  Per-chunk trim offsets recover frames [i*fpc, (i+1)*fpc).
-    track = audio[: T * 1024]
-    start_frames = [min(max(i * frames_per_chunk - halo, 0), T - chunk_frames)
-                    for i in range(n_dev)]
-    keep_off = [i * frames_per_chunk - s for i, s in zip(range(n_dev), start_frames)]
-    chunks = jnp.stack([jax.lax.dynamic_slice(track, (s * 1024,), (Lc,)) for s in start_frames])
-
-    if tuning is None:
-        tuning = estimate_tuning(FT.harmonic(chunks[0][: 4 * sr]), sr, bins_per_octave=36)
-
-    chunks = jax.device_put(chunks, NamedSharding(mesh, P("data", None)))
-    local, mel_bands, rms = _chunk_core(chunks, sr, float(tuning))
-
     def trim_cat(x, time_axis):
-        """Trim per-chunk keep windows on `time_axis`, concatenate to (T, ...)."""
         x = jnp.moveaxis(x, time_axis, 1)  # (N, Tc, ...)
-        parts = [jax.lax.dynamic_slice_in_dim(x[i], keep_off[i], frames_per_chunk, axis=0)
+        parts = [jax.lax.dynamic_slice_in_dim(x[i], keep_off[i], fpc, axis=0)
                  for i in range(x.shape[0])]
         return jnp.concatenate(parts, axis=0)[:T]  # (T, ...)
 
-    local = trim_cat(local, 1)                      # (T, 46)
+    local = trim_cat(local, 1)                       # (T, 46)
     M = jnp.moveaxis(trim_cat(mel_bands, 3), 0, -1)  # (4, n_mels, T)
     R = trim_cat(jnp.moveaxis(rms, 1, 2), 1).T       # (8, T)
 
-    # ---- pass 2: whole-track-context features on assembled envelopes ----
     onsets = onset_env_from_melpower(M, aggregate="mean")            # (4, T)
     plp_env = onset_env_from_melpower(M[:1], aggregate="median")[0]  # (T,)
     pulse = plp_from_onset_env(plp_env, sr)
@@ -154,3 +121,92 @@ def audio2features_sharded(audio, sr: int, fps: int, mesh=None, clamp: bool = Tr
     if smooth:
         feats = gaussian_filter(feats, 0.1 * fps)
     return feats
+
+
+def audio2features_long(audio, sr: int, fps: int, chunk_frames: int = 960,
+                        clamp: bool = True, smooth: bool = True,
+                        tuning: float | None = None) -> jax.Array:
+    """Long-form single-chip variant of the two-pass pipeline: a host loop
+    over FIXED-size chunks through one compiled per-chunk program.
+
+    The fused whole-track program re-specialises (and on very long tracks
+    overwhelms the remote compiler) per track length; here the compile cost
+    is paid once per (chunk_frames, sr) and reused for every chunk of every
+    track.  Semantics identical to audio2features_sharded (same pass-1 core
+    and pass-2 assembly).
+    """
+    from ..audio.pitch import estimate_tuning
+
+    audio = jnp.asarray(audio, jnp.float32)
+    target_sr = fps * 1024
+    if sr != target_sr:
+        from ..ops.resample import resample
+
+        audio = resample(audio, int(sr), target_sr, lowpass_filter_width=6)
+        sr = target_sr
+
+    T = audio.shape[0] // 1024
+    n_chunks = max(int(np.ceil(T / chunk_frames)), 1)
+    fpc, halo, cf, starts, keep = _chunk_plan(T, n_chunks)
+    if T <= cf:
+        kwargs = {} if tuning is None else {"tuning": float(tuning)}
+        return FT.audio2features(audio, sr, fps, clamp=clamp, smooth=smooth, **kwargs)
+
+    track = audio[: T * 1024]
+    if tuning is None:
+        tuning = estimate_tuning(FT.harmonic(track[: 4 * sr]), sr, bins_per_octave=36)
+
+    Lc = cf * 1024
+    locals_, mels, rmss = [], [], []
+    for s0 in starts:
+        chunk = jax.lax.dynamic_slice(track, (s0 * 1024,), (Lc,))
+        lo, me, rm = _chunk_core(chunk[None], sr, float(tuning))
+        locals_.append(lo)
+        mels.append(me)
+        rmss.append(rm)
+    local = jnp.concatenate(locals_, axis=0)
+    mel_bands = jnp.concatenate(mels, axis=0)
+    rms = jnp.concatenate(rmss, axis=0)
+    return _assemble(local, mel_bands, rms, keep, fpc, T, sr, fps, clamp, smooth)
+
+
+def audio2features_sharded(audio, sr: int, fps: int, mesh=None, clamp: bool = True,
+                           smooth: bool = True, tuning: float | None = None) -> jax.Array:
+    """(L,) waveform -> (T, 59), with per-chunk compute sharded over the mesh."""
+    from ..audio.pitch import estimate_tuning
+
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+    audio = jnp.asarray(audio, jnp.float32)
+    target_sr = fps * 1024
+    if sr != target_sr:
+        from ..ops.resample import resample
+
+        audio = resample(audio, int(sr), target_sr, lowpass_filter_width=6)
+        sr = target_sr
+
+    T = audio.shape[0] // 1024
+    fpc, halo, chunk_frames, start_frames, keep_off = _chunk_plan(T, n_dev)
+    Lc = chunk_frames * 1024
+
+    if T <= chunk_frames:
+        # track fits in one chunk: SP buys nothing and chunk windows would
+        # overlap the track edges with halo context the unsharded pipeline
+        # doesn't have — run the reference-exact unsharded stack instead
+        kwargs = {} if tuning is None else {"tuning": float(tuning)}
+        return FT.audio2features(audio, sr, fps, clamp=clamp, smooth=smooth, **kwargs)
+
+    # Chunk windows are CLAMPED to the track extent: the first chunk starts
+    # at sample 0 and the last ends at T, so track-edge frames see exactly
+    # the unsharded pipeline's boundary semantics (biquad zero state, STFT/
+    # CQT reflect at the true track edge); interior chunks carry halos on
+    # both sides.  Per-chunk trim offsets recover frames [i*fpc, (i+1)*fpc).
+    track = audio[: T * 1024]
+    chunks = jnp.stack([jax.lax.dynamic_slice(track, (s * 1024,), (Lc,)) for s in start_frames])
+
+    if tuning is None:
+        tuning = estimate_tuning(FT.harmonic(chunks[0][: 4 * sr]), sr, bins_per_octave=36)
+
+    chunks = jax.device_put(chunks, NamedSharding(mesh, P("data", None)))
+    local, mel_bands, rms = _chunk_core(chunks, sr, float(tuning))
+    return _assemble(local, mel_bands, rms, keep_off, fpc, T, sr, fps, clamp, smooth)

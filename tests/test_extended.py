@@ -765,3 +765,121 @@ def test_apply_config_file_precedence(tmp_path):
     args = apply_config_file(parser, args, str(cfgf), argv)
     assert args.fps == 12          # from config (default not explicitly set)
     assert args.batch_size == 8    # explicit flag beats config
+
+
+@pytest.mark.slow
+def test_all_example_patches_render(rng, tmp_path):
+    """Every patch file in examples/ loads, runs its hooks, and renders an
+    mp4 end-to-end through a small synthesizer (VERDICT r1 item 10)."""
+    import glob
+
+    import ssar_tpu.generate.audioreactive as ar
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.gan.wrapper import StyleGAN2Synthesizer
+
+    sr = 1024 * 24
+    t = np.arange(2 * sr) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.randn(2 * sr)).astype(np.float32)
+    audio[:: sr // 2] += 1.0
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    syn = StyleGAN2Synthesizer(model_file=None, output_size=(32, 32),
+                               strategy="stretch", layer=0, config=cfg)
+    palette = jnp.asarray(rng.randn(13, cfg.n_latent, 512).astype(np.float32))
+
+    paths = sorted(glob.glob("examples/*.py"))
+    assert len(paths) >= 14
+    for path in paths:
+        mod = ar.load_patch_module(path)
+        if not hasattr(mod, "get_latents"):
+            continue  # standalone-script examples (own __main__ CLI)
+        out = str(tmp_path / (os.path.basename(path) + ".mp4"))
+        latents, noises = ar.render_patch(mod, audio, sr, palette=palette,
+                                          synthesizer=syn, out_file=out, batch_size=16)
+        assert latents.shape == (48, cfg.n_latent, 512), path
+        assert np.isfinite(np.asarray(latents)).all(), path
+        assert os.path.exists(out) and os.path.getsize(out) > 0, path
+
+
+@pytest.mark.slow
+def test_resnet50_converter_matches_torch_forward(tmp_path):
+    """The resnet50 (SwAV-trunk) converter: a torchvision-layout state_dict
+    converts and the native trunk reproduces a hand-built torch ResNet-50
+    forward (convs, BN running stats, maxpool alignment, pooling)."""
+    import torch
+    import torch.nn.functional as TF
+
+    from ssar_tpu.models.convert_extractors import (convert_resnet50, load_converted,
+                                                    save_converted)
+    from ssar_tpu.models.resnet import BLOCKS, WIDTHS, resnet50_features
+
+    g = torch.Generator().manual_seed(0)
+
+    def conv_w(ci, co, k):
+        return torch.randn(co, ci, k, k, generator=g) * (2.0 / (k * k * ci)) ** 0.5
+
+    sd = {"conv1.weight": conv_w(3, 64, 7)}
+
+    def add_bn(prefix, c):
+        sd[f"{prefix}.weight"] = 1 + 0.1 * torch.randn(c, generator=g)
+        sd[f"{prefix}.bias"] = 0.1 * torch.randn(c, generator=g)
+        sd[f"{prefix}.running_mean"] = 0.1 * torch.randn(c, generator=g)
+        sd[f"{prefix}.running_var"] = (1 + 0.1 * torch.randn(c, generator=g)).abs()
+
+    add_bn("bn1", 64)
+    cin = 64
+    for li, (n, w) in enumerate(zip(BLOCKS, WIDTHS)):
+        for bi in range(n):
+            pre = f"layer{li + 1}.{bi}"
+            sd[f"{pre}.conv1.weight"] = conv_w(cin if bi == 0 else w * 4, w, 1)
+            add_bn(f"{pre}.bn1", w)
+            sd[f"{pre}.conv2.weight"] = conv_w(w, w, 3)
+            add_bn(f"{pre}.bn2", w)
+            sd[f"{pre}.conv3.weight"] = conv_w(w, w * 4, 1)
+            add_bn(f"{pre}.bn3", w * 4)
+            if bi == 0:
+                sd[f"{pre}.downsample.0.weight"] = conv_w(cin, w * 4, 1)
+                add_bn(f"{pre}.downsample.1", w * 4)
+        cin = w * 4
+
+    params = convert_resnet50({k: v.numpy() for k, v in sd.items()})
+    save_converted(params, str(tmp_path / "r50.npz"))
+    params = load_converted(str(tmp_path / "r50.npz"))
+
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    from ssar_tpu.models.resnet import IMAGENET_MEAN, IMAGENET_STD
+
+    ours = np.asarray(resnet50_features(params, jnp.asarray(x)))
+
+    def t_bn(h, prefix):
+        return TF.batch_norm(h, sd[f"{prefix}.running_mean"], sd[f"{prefix}.running_var"],
+                             sd[f"{prefix}.weight"], sd[f"{prefix}.bias"], training=False)
+
+    h = torch.from_numpy(np.transpose((x - IMAGENET_MEAN) / IMAGENET_STD, (0, 3, 1, 2)))
+    h = TF.relu(t_bn(TF.conv2d(h, sd["conv1.weight"], stride=2, padding=3), "bn1"))
+    h = TF.max_pool2d(h, 3, 2, padding=1)
+    for li, (n, w) in enumerate(zip(BLOCKS, WIDTHS)):
+        for bi in range(n):
+            pre = f"layer{li + 1}.{bi}"
+            stride = 2 if (bi == 0 and li > 0) else 1
+            hh = TF.relu(t_bn(TF.conv2d(h, sd[f"{pre}.conv1.weight"]), f"{pre}.bn1"))
+            hh = TF.relu(t_bn(TF.conv2d(hh, sd[f"{pre}.conv2.weight"], stride=stride, padding=1), f"{pre}.bn2"))
+            hh = t_bn(TF.conv2d(hh, sd[f"{pre}.conv3.weight"]), f"{pre}.bn3")
+            if bi == 0:
+                h = t_bn(TF.conv2d(h, sd[f"{pre}.downsample.0.weight"], stride=stride), f"{pre}.downsample.1")
+            h = TF.relu(hh + h)
+    ref = h.mean(dim=(2, 3)).numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_swav_extractor_feeds_ood_metrics(rng):
+    from ssar_tpu.metrics.ood import compute
+    from ssar_tpu.models.resnet import init_random_params, swav_extractor
+
+    params = init_random_params()
+    ex = swav_extractor(params, resize_to=64, batch_size=8)
+    a = rng.rand(12, 32, 32, 3).astype(np.float32)
+    b = np.clip(rng.rand(12, 32, 32, 3) + 0.4, 0, 1).astype(np.float32)
+    res = compute(a, b, extractor=ex)
+    assert np.isfinite(res["frechet"]) and np.isfinite(res["kernel"])

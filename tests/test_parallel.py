@@ -132,3 +132,23 @@ def test_tensor_parallel_synthesis_matches_single_device():
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), axis_names=("data", "tp"))
     out = synthesize_tp(params, lat, noises, cfg, mesh, dtype=jnp.float32)
     assert float(jnp.abs(ref - out).max()) < 1e-3
+
+
+@pytest.mark.slow
+def test_long_form_chunked_features_match(rng):
+    """audio2features_long (host loop over fixed chunks, single chip)
+    reproduces the unsharded stack exactly — the long-form production path
+    (bench.py --longform)."""
+    from ssar_tpu.audio.features import audio2features
+    from ssar_tpu.parallel.features_sp import audio2features_long
+
+    L = SR * 16
+    t = np.arange(L) / SR
+    au = (0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.randn(L)).astype(np.float32)
+    au[:: SR // 2] += 1.0
+
+    full = np.asarray(audio2features(jnp.asarray(au), SR, FPS, tuning=0.0))
+    lng = np.asarray(audio2features_long(jnp.asarray(au), SR, FPS, chunk_frames=192, tuning=0.0))
+    assert lng.shape == full.shape
+    err = np.abs(lng - full).max()
+    assert err < 0.01 * (np.abs(full).max() + 1e-6), err
