@@ -47,7 +47,13 @@ if not _os.environ.get("SSAR_TPU_NO_COMPILE_CACHE"):
         # can execute incorrectly (observed as NaNs) rather than fail.
         try:
             with open("/proc/cpuinfo") as _f:
-                _fp = next(l for l in _f if l.startswith("flags"))
+                _lines = _f.readlines()
+            # flags alone are not discriminating enough: two hosts with
+            # identical flag sets can get different XLA target tunings
+            # (+prefer-no-scatter/-gather), and loading the other host's AOT
+            # executable is undefined behavior. Include the model name.
+            _fp = next(l for l in _lines if l.startswith("flags"))
+            _fp += next((l for l in _lines if l.startswith("model name")), "")
         except Exception:
             import platform as _platform
 

@@ -64,6 +64,12 @@ class StyleGAN2Mapper:
     def __call__(self, z) -> jax.Array:
         return self._fwd(self.params, jnp.asarray(z, dtype=jnp.float32))
 
+    def mean_latent(self, n_samples: int = 4096, seed: int = 0) -> jax.Array:
+        """Monte-Carlo mean W+ latent — the truncation anchor (reference
+        ssar/models/stylegan2.py:552-556 `truncation_latent`)."""
+        z = jax.random.normal(jax.random.PRNGKey(seed), (n_samples, self.config.style_dim))
+        return self._fwd(self.params, z).mean(axis=0, keepdims=True)
+
 
 class StyleGAN2Synthesizer:
     """W+ latents + noise pyramid -> frames.

@@ -51,7 +51,7 @@ __all__ = [
     "onsets", "volume", "rms", "chroma", "tonnetz", "pitch_track", "tempo",
     "laplacian_segmentation",
     "load_audio", "load_latents", "generate_latents", "wrapping_slice",
-    "perlin_noise", "plot_signals", "plot_spectra",
+    "perlin_noise", "circular_mask", "plot_signals", "plot_spectra",
     "slerp_loops", "spline_loops", "gaussian_loops", "constant_loops",
     "ModulatedLatents", "ModulatedNoise", "PitchTrackLatents",
     "TempoLoopLatents", "TempoLoopNoise", "TonalLatents", "TonalNoise",
@@ -374,6 +374,24 @@ def perlin_noise(key, shape: tuple[int, int, int], res: tuple[int, int, int],
     return out / (jnp.std(out) + 1e-8)
 
 
+def circular_mask(h: int, w: int, center: tuple[int, int] | None = None,
+                  radius: float | None = None, soft: float = 0.0) -> jax.Array:
+    """(h, w) soft disc mask in [0, 1] for spatial noise control (the
+    reference temper.py idiom, ssar/patches/examples/temper.py:40-54).
+    ``soft`` > 0 gaussian-blurs the hard edge."""
+    if center is None:
+        center = (w / 2, h / 2)
+    if radius is None:
+        radius = min(center[0], center[1], w - center[0], h - center[1])
+    Y, X = jnp.mgrid[:h, :w]
+    mask = (jnp.sqrt((X - center[0]) ** 2 + (Y - center[1]) ** 2) <= radius).astype(jnp.float32)
+    if soft > 0:
+        # separable blur along both spatial axes via the shared 1-d kernel
+        mask = gaussian_filter(mask, soft, mode="replicate")
+        mask = gaussian_filter(mask.T, soft, mode="replicate").T
+    return mask
+
+
 def TonalNoise(key, chromagram: jax.Array, size: tuple[int, int]) -> jax.Array:
     """Chroma-weighted mix of C noise keyframes, (T, H, W)."""
     C = chromagram.shape[1]
@@ -599,7 +617,21 @@ def render_patch(patch_module, audio, sr: int, fps: float = 24, palette=None,
 
         mapper = StyleGAN2Mapper(config=gan_config)
         palette = mapper(jax.random.normal(jax.random.PRNGKey(42), (12, 512)))
+    else:
+        mapper = None
     latents = patch_module.get_latents(jnp.asarray(palette), args)
+
+    if hasattr(patch_module, "get_truncation"):
+        # per-frame truncation psi pulling W+ toward the mean latent
+        # (reference ssar/patches/examples/tvgfIImix.py:630-653 +
+        # ssar/models/stylegan2.py:552-556). With a live mapper the anchor is
+        # the Monte-Carlo mean W; with a user palette, its mean row.
+        trunc = jnp.asarray(patch_module.get_truncation(args), jnp.float32).reshape(-1)
+        T = latents.shape[0]
+        trunc = jnp.pad(trunc[:T], (0, max(0, T - trunc.shape[0])), mode="edge")
+        w_avg = (mapper.mean_latent() if mapper is not None
+                 else jnp.asarray(palette).mean(0, keepdims=True))  # (1, n_ws, 512)
+        latents = w_avg + trunc[:, None, None] * (latents - w_avg)
 
     noises = None
     if hasattr(patch_module, "get_noise") and synthesizer is not None:

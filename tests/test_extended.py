@@ -388,6 +388,35 @@ def test_audioreactive_patch_api(rng, tmp_path):
     assert lats.shape == (T, 18, 512)
 
 
+def test_patch_truncation_and_circular_mask(rng, tmp_path):
+    """get_truncation pulls W+ toward the palette-mean anchor per frame
+    (reference tvgfIImix.py:630-653 + stylegan2.py:552-556): psi=0 frames
+    collapse to the mean latent exactly, psi=1 frames are untouched.
+    circular_mask is 1 at the centre, 0 in the corners, soft in between."""
+    import ssar_tpu.generate.audioreactive as ar
+
+    sr = 1024 * 24
+    audio = (0.1 * rng.randn(sr)).astype(np.float32)  # 24 frames
+    palette = jnp.asarray(rng.randn(6, 18, 512).astype(np.float32))
+    patch = tmp_path / "trunc_patch.py"
+    patch.write_text(
+        "import numpy as np\n"
+        "def get_latents(selection, args):\n"
+        "    return np.repeat(selection[:1], args.n_frames, 0)\n"
+        "def get_truncation(args):\n"
+        "    psi = np.ones(args.n_frames, np.float32); psi[:8] = 0.0\n"
+        "    return psi\n")
+    mod = ar.load_patch_module(str(patch))
+    lats, _ = ar.render_patch(mod, audio, sr, palette=palette)
+    w_avg = np.asarray(palette.mean(0))
+    assert np.allclose(np.asarray(lats[:8]), w_avg[None], atol=1e-5)
+    assert np.allclose(np.asarray(lats[-8:]), np.asarray(palette[0])[None], atol=1e-5)
+
+    m = np.asarray(ar.circular_mask(32, 32, radius=12, soft=2))
+    assert m.shape == (32, 32) and m[16, 16] > 0.9 and m[0, 0] < 0.1
+    assert 0.05 < m[16, 28] < 0.95  # soft edge, not a hard step
+
+
 @pytest.mark.slow
 def test_patch_with_bends_renders_widescreen(rng, tmp_path):
     """render_patch installs get_bends transforms on the synthesizer; the
