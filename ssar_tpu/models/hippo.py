@@ -8,8 +8,10 @@ optimizer tunes a compact spectral parameterization instead of raw frames.
 
 TPU design: transition matrices are built host-side in numpy (static), the
 LegS time-varying encode runs as one ``lax.scan`` over frames (done once at
-init), and decode is a dense MXU matmul inside the optimization step.
-Standard HiPPO formulas (Gu et al. 2020).
+init) — or, for long tracks, as a blocked parallel unroll whose inner loops
+are vmapped dense matmuls (``encode_leg_s_parallel``, the MXU counterpart of
+the reference's parallel ``variable_unroll``) — and decode is a dense MXU
+matmul inside the optimization step. Standard HiPPO formulas (Gu et al. 2020).
 """
 from __future__ import annotations
 
@@ -59,17 +61,52 @@ def init_leg_t(N: int, dt: float = 1.0):
 def init_leg_s(N: int, max_length: int = 1024):
     """Scale-invariant LegS: per-step bilinear discretisation A_t, B_t
     (t = 1..L) + reconstruction matrix E (L, N)."""
-    A, B = transition("legs", N)
-    B = B.squeeze(-1)
-    eye = np.eye(N)
-    A_stacked = np.empty((max_length, N, N), dtype=np.float64)
-    B_stacked = np.empty((max_length, N), dtype=np.float64)
-    for t in range(1, max_length + 1):
-        At = A / t
-        Bt = B / t
-        A_stacked[t - 1] = np.linalg.solve(eye - At / 2, eye + At / 2)
-        B_stacked[t - 1] = np.linalg.solve(eye - At / 2, Bt)
-    E = (B[:, None] * ss.eval_legendre(np.arange(N)[:, None], 2 * np.linspace(0.0, 1.0, max_length) - 1)).T
+    # The LegS transition A = T M T^{-1} with T = sqrt(diag(2q+1)) and M lower
+    # triangular, so the per-step bilinear discretisation
+    #   A_t = (I - A/2t)^{-1} (I + A/2t) = T (2tI - M)^{-1} (2tI + M) T^{-1}
+    #   B_t = (I - A/2t)^{-1} B/t     = T (2tI - M)^{-1} 2·1     (T^{-1}B = 1)
+    # needs only *triangular* solves. Build all steps as one vmapped batched
+    # triangular solve on the accelerator — the host loop of dense LU solves
+    # this replaces was the dominant cost of HiPPO init at N=512, T≈8k
+    # (minutes on one CPU core vs well under a second here).
+    q = np.arange(N, dtype=np.float64)
+    r = 2 * q + 1
+    col, row = np.meshgrid(q, q)
+    M = -(np.where(row >= col, r, 0) - np.diag(q))  # lower triangular
+    Td = np.sqrt(r)
+    Mj = jnp.asarray(M, jnp.float32)
+    Tj = jnp.asarray(Td, jnp.float32)
+    coef = jnp.asarray(r, jnp.float32)  # strict-lower row of L is constant: (2j+1)
+    eye_j = jnp.eye(N, dtype=jnp.float32)
+    ts = jnp.arange(1, max_length + 1, dtype=jnp.float32)
+
+    def one_step(t):
+        # Forward substitution for L X = R with L = 2tI - M: L[i, j>i-strict]
+        # = 2j+1 is row-independent, so the running inner product is a single
+        # rank-1 carry update per row — a cheap lax.scan, vs XLA's
+        # TriangularSolve whose TPU compile alone takes ~1 min at this size.
+        R = jnp.concatenate([2 * t * eye_j + Mj, jnp.full((N, 1), 2.0, jnp.float32)], 1)
+        diag = 2 * t + jnp.arange(N, dtype=jnp.float32) + 1.0
+
+        def row(S, inp):
+            b_i, c_i, d_i = inp
+            x_i = (b_i - S) / d_i
+            return S + c_i * x_i, x_i
+
+        _, X = jax.lax.scan(row, jnp.zeros(N + 1, jnp.float32), (R, coef, diag))
+        At = Tj[:, None] * X[:, :N] / Tj[None, :]
+        Bt = Tj * X[:, N]
+        return At, Bt
+
+    # lax.map in modest batches bounds peak memory at large (T, N, N)
+    bs = min(256, max_length)
+    pad = (-max_length) % bs
+    if pad:
+        ts = jnp.concatenate([ts, jnp.ones((pad,), jnp.float32)])
+    A_stacked, B_stacked = jax.lax.map(jax.vmap(one_step), ts.reshape(-1, bs))
+    A_stacked = np.asarray(A_stacked.reshape(-1, N, N)[:max_length])
+    B_stacked = np.asarray(B_stacked.reshape(-1, N)[:max_length])
+    E = (Td[:, None] * ss.eval_legendre(np.arange(N)[:, None], 2 * np.linspace(0.0, 1.0, max_length) - 1)).T  # B = Td
     return A_stacked.astype(np.float32), B_stacked.astype(np.float32), E.astype(np.float32)
 
 
@@ -81,11 +118,63 @@ def encode_leg_s(f: jax.Array, A_stacked, B_stacked) -> jax.Array:
 
     def step(c, inp):
         At, Bt, ft = inp
-        c = jnp.einsum("nk,ck->cn", At, c) + ft[:, None] * Bt[None, :]
+        # HIGHEST precision matters: the 4096-step recurrence at N=128
+        # accumulates bf16-matmul error to O(1) relative on TPU.
+        c = jnp.einsum("nk,ck->cn", At, c, precision=jax.lax.Precision.HIGHEST) + ft[:, None] * Bt[None, :]
         return c, None
 
     c0 = jnp.zeros((f.shape[1], A.shape[-1]), f.dtype)
     c, _ = jax.lax.scan(step, c0, (A, B, f))
+    return c
+
+
+def encode_leg_s_parallel(f: jax.Array, A_stacked, B_stacked, block: int = 64) -> jax.Array:
+    """Final LegS coefficients (C, N) via a blocked parallel unroll.
+
+    Counterpart of the reference's parallel ``variable_unroll``
+    (ssar/models/hippo/unroll.py:236-453), restructured for the MXU instead
+    of translating the recursive halving: the T time-varying steps are split
+    into ceil(T/block) chunks; every chunk's transition product
+    ``P_k = A_kM ... A_k1`` and local contribution ``s_k`` are computed by one
+    *vmapped* scan (all chunks run in parallel, each step a dense (N, N)
+    matmul that tiles onto the MXU), then the chunk summaries combine with a
+    short sequential scan of cheap mat-vecs. Wall depth drops from T matvecs
+    to block matmuls + T/block matvecs; work is O(T N^3) like the reference's
+    doubling scheme. Exact (no approximation) — parity-tested against
+    ``encode_leg_s``.
+    """
+    T, C = f.shape
+    N = A_stacked.shape[-1]
+    A = jnp.asarray(A_stacked[:T])
+    b = jnp.asarray(B_stacked[:T])[:, None, :] * f[:, :, None]  # (T, C, N)
+
+    K = -(-T // block)
+    pad = K * block - T
+    if pad:  # identity transitions + zero inputs leave the final state unchanged
+        A = jnp.concatenate([A, jnp.broadcast_to(jnp.eye(N, dtype=A.dtype), (pad, N, N))])
+        b = jnp.concatenate([b, jnp.zeros((pad, C, N), b.dtype)])
+    A = A.reshape(K, block, N, N)
+    b = b.reshape(K, block, C, N)
+
+    def chunk_summary(A_c, b_c):
+        def step(carry, inp):
+            P, s = carry
+            At, bt = inp
+            P = jnp.matmul(At, P, precision=jax.lax.Precision.HIGHEST)
+            s = jnp.einsum("nk,ck->cn", At, s, precision=jax.lax.Precision.HIGHEST) + bt
+            return (P, s), None
+
+        (P, s), _ = jax.lax.scan(step, (jnp.eye(N, dtype=A_c.dtype),
+                                        jnp.zeros((C, N), b_c.dtype)), (A_c, b_c))
+        return P, s
+
+    P_k, s_k = jax.vmap(chunk_summary)(A, b)  # (K, N, N), (K, C, N)
+
+    def combine(c, inp):
+        P, s = inp
+        return jnp.einsum("nk,ck->cn", P, c, precision=jax.lax.Precision.HIGHEST) + s, None
+
+    c, _ = jax.lax.scan(combine, jnp.zeros((C, N), f.dtype), (P_k, s_k))
     return c
 
 
@@ -124,7 +213,15 @@ class HiPPOTimeseries:
 
     def init_params(self, f: jax.Array) -> dict:
         fp = jnp.pad(f, ((self.padding, self.padding), (0, 0)))
-        enc = encode_leg_s if self.invariance == "s" else encode_leg_t
+        if self.invariance != "s":
+            return {"c": encode_leg_t(fp, self.A, self.B)}
+        # Long tracks at small N: blocked parallel unroll instead of T
+        # sequential matvecs. Measured on the real chip (T=4096): parallel
+        # ties the scan at N=64 (1.55s vs 1.63s) and loses 3.6x at N=128 —
+        # its O(T N^3) chunk products overtake the scan's latency win as N
+        # grows, so the scan stays the default at the record N=512.
+        use_par = fp.shape[0] > 2048 and self.A.shape[-1] <= 64
+        enc = encode_leg_s_parallel if use_par else encode_leg_s
         return {"c": enc(fp, self.A, self.B)}
 
     def decode(self, params: dict) -> jax.Array:

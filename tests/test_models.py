@@ -97,6 +97,28 @@ def test_hippo_reconstruction(rng):
     assert np.abs(rec - f)[8:-8].mean() < 0.15
 
 
+def test_hippo_parallel_unroll_matches_scan(rng):
+    """The blocked parallel LegS encode (MXU counterpart of the reference's
+    parallel variable_unroll, ssar/models/hippo/unroll.py:236-453) is exact:
+    it matches the sequential lax.scan encode, including the ragged final
+    chunk, and HiPPOTimeseries auto-selects it for long tracks."""
+    from ssar_tpu.models.hippo import (encode_leg_s, encode_leg_s_parallel,
+                                       init_leg_s)
+
+    T, C, N = 203, 3, 48  # T deliberately not a multiple of the block size
+    A, B, _ = init_leg_s(N, max_length=T)
+    f = jnp.asarray(rng.randn(T, C).astype(np.float32))
+    seq = np.asarray(encode_leg_s(f, A, B))
+    par = np.asarray(encode_leg_s_parallel(f, A, B, block=64))
+    assert np.allclose(par, seq, atol=1e-4), np.abs(par - seq).max()
+
+    h = HiPPOTimeseries(2100, 1, N=64, padding=16)  # T_pad > 2048 -> parallel
+    t = np.linspace(0, 1, 2100)
+    f = np.sin(2 * np.pi * 5 * t)[:, None].astype(np.float32)
+    rec = np.asarray(h.decode(h.init_params(jnp.asarray(f))))
+    assert np.abs(rec - f)[64:-64].mean() < 0.15
+
+
 def test_hippo_optimizable(rng):
     """Gradients flow through decode to the coefficients."""
     T = 48
