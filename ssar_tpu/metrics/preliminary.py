@@ -146,7 +146,10 @@ def compare_av_feats(vid_feats: dict, aud_feats: dict, key: jax.Array,
     Each value is stacked per-clip features (m, t, p) (or (m, t)).  With
     ``misaligned`` the video clips are permuted per pair — the permutation
     null the study compares against.  Returns
-    {"sgw", "pca_corr", "pca_wass"} summed over pairs.
+    {"sgw", "pca_corr", "pca_wass"} summed over pairs.  Note sgw compares
+    the two clip point-clouds, so it is invariant to the pairing
+    permutation (as in the reference); the Gram-based scores carry the
+    aligned-vs-misaligned signal.
     """
     sgws, corrs, wasss = [], [], []
     for vf in vid_feats.values():
