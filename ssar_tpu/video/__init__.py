@@ -15,4 +15,9 @@ from .features import (
     video_spectrogram,
     visual_variance,
 )
-from .flow import farneback_flow
+from .flow import (
+    farneback_flow,
+    farneback_parametrized,
+    lucas_kanade_pyramid,
+    poly_expansion_certainty,
+)

@@ -143,6 +143,213 @@ def farneback_flow(gray: jax.Array, levels: int = 3, iterations: int = 3,
     return jnp.moveaxis(flow, -1, 1)
 
 
+# ------------------------------------- parametrized (certainty) Farneback --
+@lru_cache(maxsize=None)
+def _nc_basis(sigma: float):
+    """Separable normalized-convolution basis (host, static): gaussian
+    applicability a and the 6 quadratic basis columns along each axis
+    (ssar/analysis/flow.py:196-238).  Returns the (k, 6) per-axis
+    applicability-weighted bases and raw bases."""
+    n = int(4 * sigma + 1)
+    x = np.arange(-n, n + 1, dtype=np.float64)
+    a = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    one = np.ones_like(x)
+    bx = np.stack([one, x, one, x ** 2, one, x], -1)   # basis along width
+    by = np.stack([one, one, x, one, x ** 2, x], -1)   # basis along height
+    return (a[:, None] * bx).astype(np.float32), bx.astype(np.float32), \
+        (a[:, None] * by).astype(np.float32), by.astype(np.float32)
+
+
+def _corr_rows(img: jax.Array, kernels: jax.Array) -> jax.Array:
+    """(B, C, H, W) correlated along H with per-channel kernels (C, k)."""
+    C, k = kernels.shape
+    return jax.lax.conv_general_dilated(
+        img, kernels[:, None, :, None], window_strides=(1, 1),
+        padding=((k // 2, k // 2), (0, 0)), feature_group_count=C,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=jax.lax.Precision.HIGHEST)
+
+
+def _corr_cols(img: jax.Array, kernels: jax.Array) -> jax.Array:
+    C, k = kernels.shape
+    return jax.lax.conv_general_dilated(
+        img, kernels[:, None, None, :], window_strides=(1, 1),
+        padding=((0, 0), (k // 2, k // 2)), feature_group_count=C,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=jax.lax.Precision.HIGHEST)
+
+
+def poly_expansion_certainty(f: jax.Array, c: jax.Array, sigma: float = 4.0):
+    """Certainty-weighted polynomial expansion (normalized convolution,
+    ssar/analysis/flow.py:173-258): per-pixel 6x6 Gram from separable
+    basis correlations of the certainty field, solved in one batched call.
+
+    f, c: (B, H, W) -> (A (B,H,W,2,2), b (B,H,W,2), C0 (B,H,W)).
+    The 36 G entries + 6 v entries run as two grouped convs per axis —
+    one MXU-shaped program instead of the reference's 84 python-loop
+    correlations.
+    """
+    abx, bx, aby, by = _nc_basis(float(sigma))
+    # pair products: along each axis the (i, j) kernel is a * b_i * b_j
+    gx = jnp.asarray((abx[:, :, None] * bx[:, None, :]).reshape(-1, 36).T)  # (36, k)
+    gy = jnp.asarray((aby[:, :, None] * by[:, None, :]).reshape(-1, 36).T)
+    B_, H, W = f.shape
+    c4 = jnp.broadcast_to(c[:, None], (B_, 36, H, W)) if c.ndim == 3 else \
+        jnp.broadcast_to(c[None, None], (B_, 36, H, W))
+    G = _corr_cols(_corr_rows(c4, gy), gx)  # height kernel = y basis
+    cf = (c * f)[:, None]
+    v = _corr_cols(_corr_rows(jnp.broadcast_to(cf, (B_, 6, H, W)), jnp.asarray(aby.T)),
+                   jnp.asarray(abx.T))
+    Gm = G.transpose(0, 2, 3, 1).reshape(B_, H, W, 6, 6)
+    vm = v.transpose(0, 2, 3, 1)
+    ridge = 1e-6 * jnp.trace(Gm, axis1=-2, axis2=-1)[..., None, None] * jnp.eye(6)
+    r = jnp.linalg.solve(Gm + ridge, vm[..., None])[..., 0]
+    A = jnp.stack([jnp.stack([r[..., 3], r[..., 5] / 2], -1),
+                   jnp.stack([r[..., 5] / 2, r[..., 4]], -1)], -2)
+    b = jnp.stack([r[..., 1], r[..., 2]], -1)  # (d/dx, d/dy)
+    return A, b, r[..., 0]
+
+
+def _border_certainty(H: int, W: int) -> np.ndarray:
+    """Linear 5-pixel confidence ramp at the image border
+    (ssar/analysis/flow.py:427-429)."""
+    i = np.arange(H, dtype=np.float32)[:, None]
+    j = np.arange(W, dtype=np.float32)[None, :]
+    c = np.minimum(np.minimum(i, H - 1 - i), np.minimum(j, W - 1 - j)) / 5.0
+    return np.minimum(c, 1.0)
+
+
+def _warp_model_S(H: int, W: int, model: str) -> np.ndarray | None:
+    """Warp parametrization S (H, W, 2, k): d = S p
+    (ssar/analysis/flow.py:294-325), in (x, y) displacement convention."""
+    if model == "constant":
+        return None
+    y, x = np.meshgrid(np.arange(H, dtype=np.float32), np.arange(W, dtype=np.float32), indexing="ij")
+    k = 6 if model == "affine" else 8
+    S = np.zeros((H, W, 2, k), np.float32)
+    S[..., 0, 0] = 1; S[..., 0, 1] = x; S[..., 0, 2] = y
+    S[..., 1, 3] = 1; S[..., 1, 4] = x; S[..., 1, 5] = y
+    if model == "eight_param":
+        S[..., 0, 6] = x * x; S[..., 0, 7] = x * y
+        S[..., 1, 6] = x * y; S[..., 1, 7] = y * y
+    return S
+
+
+def _gauss_sep_blur(x: jax.Array, sigma_flow: float) -> jax.Array:
+    """Unnormalized gaussian matching window along H, W of (B, H, W, ...)
+    (ssar/analysis/flow.py:289-292)."""
+    n = int(4 * sigma_flow + 1)
+    t = np.arange(-n, n + 1, dtype=np.float64)
+    w = np.exp(-(t ** 2) / (2 * sigma_flow ** 2)).astype(np.float32)
+    lead, trail = x.shape[0], x.shape[3:]
+    flat = x.reshape(lead, x.shape[1], x.shape[2], -1)
+    flat = jnp.moveaxis(flat, -1, 1).reshape(-1, 1, x.shape[1], x.shape[2])
+    wj = jnp.asarray(w)
+    out = _corr_rows(flat, wj[None])
+    out = _corr_cols(out, wj[None])[:, 0]
+    out = out.reshape(lead, -1, x.shape[1], x.shape[2])
+    return jnp.moveaxis(out, 1, -1).reshape(x.shape[:3] + trail)
+
+
+def _nearest_gather(field: jax.Array, xi: jax.Array, yi: jax.Array) -> jax.Array:
+    """field (B, H, W, ...) at integer pixel indices (B, H, W)."""
+    B, H, W = field.shape[:3]
+    flat = field.reshape(B, H * W, -1)
+    idx = yi * W + xi
+    out = jnp.take_along_axis(flat, idx.reshape(B, -1, 1), axis=1)
+    return out.reshape(field.shape[:1] + idx.shape[1:] + field.shape[3:])
+
+
+@partial(jax.jit, static_argnames=("model", "mu", "n_pyr", "num_iter", "sigma", "sigma_flow"))
+def farneback_parametrized(gray: jax.Array, model: str = "constant", mu: float = 0.0,
+                           sigma: float = 4.0, sigma_flow: float = 4.0,
+                           n_pyr: int = 1, num_iter: int = 1) -> jax.Array:
+    """Certainty-weighted Farneback with parametrized warp models
+    (ssar/analysis/flow.py:260-452): gray (T, H, W) in [0, 1] ->
+    flow (T-1, 2, H, W), (u, v) in pixels.
+
+    model: "constant" solves a per-pixel 2-vector; "affine"/"eight_param"
+    fit d = S p with per-pixel k-param normal equations S^T A^T A S.
+    mu != 0 regularizes the local solve toward the GLOBAL parametrized
+    warp (mu < 0 -> trace(G_avg)/2, the thesis default).  Note the
+    reference's mu branch computes ``S @ sol`` with a 2-vector sol and so
+    only ever ran with model="constant"; here the regularized local
+    2-vector solve works under every model, which is the intended
+    semantics.  Batched over frame pairs — every step is a conv, einsum,
+    or batched small solve.
+    """
+    f1 = gray[:-1] * 255.0
+    f2 = gray[1:] * 255.0
+    pyr1, pyr2 = [f1], [f2]
+    for _ in range(n_pyr - 1):
+        pyr1.append(_avg_pool2(pyr1[-1]))
+        pyr2.append(_avg_pool2(pyr2[-1]))
+
+    flow = None
+    for lvl in range(n_pyr - 1, -1, -1):
+        p1, p2 = pyr1[lvl], pyr2[lvl]
+        B, H, W = p1.shape
+        cert = jnp.asarray(_border_certainty(H, W))
+        if flow is None:
+            flow = jnp.zeros((B, H, W, 2), gray.dtype)
+        else:
+            flow = 2.0 * jax.image.resize(flow, (B, H, W, 2), method="bilinear")
+        A1, b1, _ = poly_expansion_certainty(p1, jnp.broadcast_to(cert, p1.shape), sigma)
+        A2, b2, _ = poly_expansion_certainty(p2, jnp.broadcast_to(cert, p2.shape), sigma)
+        S = _warp_model_S(H, W, model)
+        Sj = None if S is None else jnp.asarray(S)
+        ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+
+        for _ in range(num_iter):
+            # nearest-pixel displacement gather, certainty 0 off-image
+            xi = xs[None] + flow[..., 0].astype(jnp.int32)
+            yi = ys[None] + flow[..., 1].astype(jnp.int32)
+            xi_c = jnp.clip(xi, 0, W - 1)
+            yi_c = jnp.clip(yi, 0, H - 1)
+            on_img = ((xi == xi_c) & (yi == yi_c)).astype(gray.dtype)
+            c_ = cert[None] * on_img * _nearest_gather(cert[None].repeat(B, 0)[..., None], xi_c, yi_c)[..., 0]
+
+            A = 0.5 * (A1 + _nearest_gather(A2.reshape(B, H, W, 4), xi_c, yi_c).reshape(B, H, W, 2, 2))
+            A = A * c_[..., None, None]
+            delB = -0.5 * (_nearest_gather(b2, xi_c, yi_c) - b1) \
+                + jnp.einsum("bhwij,bhwj->bhwi", A, flow)
+            delB = delB * c_[..., None]
+
+            AtA = jnp.einsum("bhwki,bhwkj->bhwij", A, A)
+            Atb = jnp.einsum("bhwki,bhwk->bhwi", A, delB)
+            if mu == 0.0:
+                if Sj is None:
+                    G = _gauss_sep_blur(AtA.reshape(B, H, W, 4), sigma_flow).reshape(B, H, W, 2, 2)
+                    h = _gauss_sep_blur(Atb, sigma_flow)
+                    ridge = 1e-6 * jnp.trace(G, axis1=-2, axis2=-1)[..., None, None] * jnp.eye(2)
+                    flow = jnp.linalg.solve(G + ridge, h[..., None])[..., 0]
+                else:
+                    k = Sj.shape[-1]
+                    GS = jnp.einsum("hwik,bhwij,hwjl->bhwkl", Sj, AtA, Sj)
+                    hS = jnp.einsum("hwik,bhwi->bhwk", Sj, Atb)
+                    GS = _gauss_sep_blur(GS.reshape(B, H, W, k * k), sigma_flow).reshape(B, H, W, k, k)
+                    hS = _gauss_sep_blur(hS, sigma_flow)
+                    ridge = 1e-6 * jnp.trace(GS, axis1=-2, axis2=-1)[..., None, None] * jnp.eye(k)
+                    sol = jnp.linalg.solve(GS + ridge, hS[..., None])[..., 0]
+                    flow = jnp.einsum("hwik,bhwk->bhwi", Sj, sol)
+            else:
+                if Sj is None:
+                    G_avg = AtA.mean((1, 2))
+                    p_avg = jnp.linalg.solve(G_avg, Atb.mean((1, 2))[..., None])[..., 0]
+                    d_avg = jnp.broadcast_to(p_avg[:, None, None], (B, H, W, 2))
+                else:
+                    k = Sj.shape[-1]
+                    G_avg = jnp.einsum("hwik,bhwij,hwjl->bkl", Sj, AtA, Sj) / (H * W)
+                    h_avg = jnp.einsum("hwik,bhwi->bk", Sj, Atb) / (H * W)
+                    p_avg = jnp.linalg.solve(G_avg, h_avg[..., None])[..., 0]
+                    d_avg = jnp.einsum("hwik,bk->bhwi", Sj, p_avg)
+                mu_eff = jnp.where(mu < 0, 0.5 * jnp.trace(G_avg, axis1=-2, axis2=-1), mu)[:, None, None]
+                G = _gauss_sep_blur(AtA.reshape(B, H, W, 4), sigma_flow).reshape(B, H, W, 2, 2)
+                h = _gauss_sep_blur(Atb, sigma_flow)
+                Gr = G + mu_eff[..., None, None] * jnp.eye(2)
+                flow = jnp.linalg.solve(Gr, (h + mu_eff[..., None] * d_avg)[..., None])[..., 0]
+
+    return jnp.moveaxis(flow, -1, 1)
+
+
 # -------------------------------------------------------- Lucas-Kanade --
 @lru_cache(maxsize=None)
 def _gauss_kernel_1d(k: int, sigma: float) -> np.ndarray:

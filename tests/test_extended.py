@@ -902,6 +902,7 @@ def test_resnet50_converter_matches_torch_forward(tmp_path):
     np.testing.assert_allclose(ours, ref, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_swav_extractor_feeds_ood_metrics(rng):
     from ssar_tpu.metrics.ood import compute
     from ssar_tpu.models.resnet import init_random_params, swav_extractor

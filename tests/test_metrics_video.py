@@ -18,12 +18,14 @@ def corr_pair(rng):
     return jnp.asarray(x), jnp.asarray(y), jnp.asarray(r)
 
 
+@pytest.mark.slow
 def test_correlation_zoo_discriminates(corr_pair):
     x, y, r = corr_pair
     for name, fn in C.CORRELATION_FNS.items():
         assert float(fn(x, y)) > float(fn(x, r)), name
 
 
+@pytest.mark.slow
 def test_correlation_sanity_constructed_pairs():
     """The reference's constructed-pairs harness (correlation.py:405-426):
     X vs a rank-reduced copy Y1, random Y2, and mixes in between — every
@@ -148,6 +150,37 @@ def test_flow_recovers_translation(rng):
     interior = flow[:, :, 16:-16, 16:-16]
     np.testing.assert_allclose(interior[:, 0].mean(), 2.0, atol=0.1)
     np.testing.assert_allclose(interior[:, 1].mean(), 1.0, atol=0.1)
+
+
+def test_parametrized_farneback_models(rng):
+    """Certainty-weighted Farneback (ssar/analysis/flow.py:260-452): every
+    warp parametrization recovers a global translation, the
+    uniform-certainty polynomial expansion matches the global-Gram fast
+    path on the interior, and mu-regularization pulls the field toward the
+    global warp (lower spatial variance)."""
+    import scipy.ndimage as ndi
+
+    from ssar_tpu.video.flow import (farneback_parametrized, poly_expansion,
+                                     poly_expansion_certainty)
+
+    base = ndi.gaussian_filter(rng.rand(64, 64), 3).astype(np.float32)
+    A1, b1, _ = poly_expansion(jnp.asarray(base[None]), n=7, sigma=1.5)
+    A2, b2, _ = poly_expansion_certainty(jnp.asarray(base[None]),
+                                         jnp.ones((1, 64, 64), jnp.float32), sigma=1.5)
+    sl = np.s_[:, 10:-10, 10:-10]
+    assert np.abs(np.asarray(A1)[sl] - np.asarray(A2)[sl]).max() < 5e-3
+    assert np.abs(np.asarray(b1)[sl] - np.asarray(b2)[sl]).max() < 5e-3
+
+    g = jnp.asarray(np.stack([base, np.roll(np.roll(base, 2, axis=1), 1, axis=0)]))
+    flows = {}
+    for model in ("constant", "affine", "eight_param"):
+        fl = np.asarray(farneback_parametrized(g, model=model, num_iter=3))
+        interior = fl[0][:, 20:-20, 20:-20]
+        assert abs(np.median(interior[0]) - 2.0) < 0.75, model
+        assert abs(np.median(interior[1]) - 1.0) < 0.75, model
+        flows[model] = fl
+    reg = np.asarray(farneback_parametrized(g, model="constant", mu=-1.0, num_iter=3))
+    assert reg[0][0].std() < flows["constant"][0][0].std() + 1e-6
 
 
 def test_directogram_and_onsets(video):

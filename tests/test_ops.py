@@ -142,6 +142,7 @@ def test_median_filter_matches_scipy(rng):
     np.testing.assert_allclose(out, ref)
 
 
+@pytest.mark.slow
 def test_resample_output_length_and_energy(rng):
     au = rng.randn(8192).astype(np.float32)
     out = np.asarray(ops.resample(jnp.asarray(au), 44100, 24576))
@@ -167,6 +168,7 @@ def test_resample_identity(rng):
     np.testing.assert_allclose(np.asarray(out), au)
 
 
+@pytest.mark.slow
 def test_vandermonde_pallas_matches_ref(rng):
     from ssar_tpu.ops.vandermonde import s4d_kernel_fused
     from ssar_tpu.models.s4 import s4d_kernel
@@ -188,6 +190,7 @@ def test_vandermonde_pallas_matches_ref(rng):
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sliding_median_vjp_matches_sort_gradient(rng):
     from ssar_tpu.ops.median_pallas import sliding_median_lastaxis
 

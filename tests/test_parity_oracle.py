@@ -112,6 +112,7 @@ def test_spectral_core_parity(name, au):
 
 
 @pytest.mark.parametrize("name,au", TRACKS[:1])
+@pytest.mark.slow
 def test_cqt_recursive_matches_reference_exactly(name, au):
     """The recursive CQT (the parity-mode default for chroma) reproduces the
     reference's octave-halving chain to float32 round-off — including the
