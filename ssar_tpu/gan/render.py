@@ -72,6 +72,10 @@ def render_latents_to_video(
                     nn = jnp.concatenate([nn, jnp.repeat(nn[-1:], batch_size - nn.shape[0], axis=0)])
                 ns.append(nn)
             kw["noises"] = ns
+        if getattr(synthesizer, "bend_mods", None):
+            # animated bends need absolute frame numbers for their
+            # modulation slices (clamped for the final padded batch)
+            kw["frame_idx"] = jnp.minimum(jnp.arange(i, i + batch_size), T - 1)
         frames = (synthesizer(L, **kw) + 1.0) / 2.0
         if postprocess_fn is not None:
             frames = postprocess_fn(frames)

@@ -328,7 +328,8 @@ def _final_level_s2d4(pu: dict, pc: dict, pr: dict, x2: jax.Array, wu, wc, wr,
 
 def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
               config: StyleGAN2Config, *, dtype=jnp.float32, output_size: int | None = None,
-              return_features: bool = False, bends: dict | None = None):
+              return_features: bool = False, bends: dict | None = None,
+              bend_mods: dict | None = None):
     """W+ latents (B, n_latent, 512) [+ noises list of (B, H, W, 1)] -> images
     (B, R, R, 3) in [-1, 1] (unclamped).
 
@@ -343,9 +344,25 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
     A bend may change the spatial shape (e.g. replication-pad 4x4 -> 4x8 for
     widescreen renders); downstream convs are shape-polymorphic, but then the
     caller must supply matching `noises` or None.
+
+    `bend_mods` (optional) maps a level to this batch's slice of a per-frame
+    modulation array; that level's transform is then called as
+    ``transform(x, mod)`` — the animated-bend idiom (tauceti's scrolling
+    drop).  The arrays are traced arguments, so animating a bend does not
+    re-compile per frame.
     """
     B = latents.shape[0]
     bends = bends or {}
+    bend_mods = bend_mods or {}
+
+    def apply_bend(lvl, x):
+        # time-varying bends (ssar/patches/examples/tauceti.py:93-140): the
+        # transform also receives this batch's slice of a per-frame
+        # modulation array (scroll fractions, zoom factors, ...)
+        if lvl in bend_mods:
+            return bends[lvl](x, bend_mods[lvl])
+        return bends[lvl](x)
+
     if noises is None:
         noises = [None] * config.num_layers
 
@@ -353,7 +370,7 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
     x = jnp.broadcast_to(params["const"].astype(dtype), (B,) + params["const"].shape)
     x = styled_conv(params["conv1"], x, latents[:, 0], noises[0], dtype=dtype)
     if 0 in bends:
-        x = bends[0](x)
+        x = apply_bend(0, x)
     feats.append(x)
     skip = to_rgb(params["to_rgb1"], x, latents[:, 1], dtype=dtype)
 
@@ -384,7 +401,7 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
         x = styled_conv(conv_up, x, latents[:, i], noises[i], up=True, dtype=dtype)
         x = styled_conv(conv, x, latents[:, i + 1], noises[i + 1], dtype=dtype)
         if (level + 1) in bends:
-            x = bends[level + 1](x)
+            x = apply_bend(level + 1, x)
         feats.append(x)
         skip = to_rgb(params["to_rgbs"][level], x, latents[:, i + 2], skip, dtype=dtype)
         i += 2

@@ -97,15 +97,17 @@ class StyleGAN2Synthesizer:
             self.synth_res = min(native, 1 << int(np.ceil(np.log2(max(m, 4)))))
 
         self.bends: dict = {}
+        self.bend_mods: dict = {}  # level -> full-track (T, ...) modulation
         self._fwd = self._make_fwd()
 
     def _make_fwd(self):
         bends = dict(self.bends)  # captured at trace time; set_bends re-jits
 
         @partial(jax.jit, static_argnames=())
-        def _fwd(params, latents, noises):
+        def _fwd(params, latents, noises, bend_mods):
             img = sg.synthesis(params, latents, noises, self.config, dtype=self.dtype,
-                               output_size=self.synth_res, bends=bends)
+                               output_size=self.synth_res, bends=bends,
+                               bend_mods=bend_mods)
             if self.output_size is not None and (img.shape[1], img.shape[2]) != tuple(self.output_size[::-1]):
                 h, w = self.output_size[1], self.output_size[0]
                 img = jax.image.resize(img, (img.shape[0], h, w, 3), method="bilinear")
@@ -115,12 +117,20 @@ class StyleGAN2Synthesizer:
 
     def set_bends(self, bends) -> None:
         """Install network bends: either a {level: transform} dict or the
-        reference's list of {"layer": int, "transform": callable}
-        (ssar/patches/examples/01_intro.py:101-107).  Transforms are traceable
-        NHWC functions applied to that feature level's activations."""
+        reference's list of {"layer": int, "transform": callable[,
+        "modulation": (T, ...) array]} (ssar/patches/examples/01_intro.py:
+        101-107).  Transforms are traceable NHWC functions applied to that
+        feature level's activations; with a "modulation" array the transform
+        is called as ``transform(x, modulation[frames])`` and the caller
+        passes ``frame_idx`` per batch (animated bends,
+        tauceti.py:93-140)."""
+        mods = {}
         if isinstance(bends, (list, tuple)):
+            mods = {int(b["layer"]): jnp.asarray(b["modulation"], jnp.float32)
+                    for b in bends if b.get("modulation") is not None}
             bends = {int(b["layer"]): b["transform"] for b in bends}
         self.bends = dict(bends or {})
+        self.bend_mods = mods
         self._fwd = self._make_fwd()
 
     @property
@@ -129,14 +139,25 @@ class StyleGAN2Synthesizer:
         log = int(np.log2(self.synth_res))
         return (log - 2) * 2 + 1
 
-    def __call__(self, latents, params=None, **noise_kwargs) -> jax.Array:
+    def __call__(self, latents, params=None, frame_idx=None, **noise_kwargs) -> jax.Array:
         """latents (B, n_ws, 512); noise via noise0..noiseN kwargs (NCHW) or
         `noises=[...]`. Returns (B, H, W, 3) in [-1, 1] (unclamped).
 
         `params` overrides the stored weights — pass it when calling from
         inside an outer jit so the weights are traced arguments rather than
-        120 MB of embedded HLO constants (see generate/sample.py)."""
+        120 MB of embedded HLO constants (see generate/sample.py).
+
+        `frame_idx` (B,) absolute frame numbers of this batch — required
+        only when animated bends (set_bends with "modulation") are
+        installed; each bend gets modulation[frame_idx] as a traced arg."""
         latents = jnp.asarray(latents, jnp.float32)
+        mod_chunks = {}
+        if self.bend_mods:
+            if frame_idx is None:
+                frame_idx = jnp.arange(latents.shape[0])
+            fi = jnp.asarray(frame_idx)
+            mod_chunks = {lvl: m[jnp.clip(fi, 0, m.shape[0] - 1)]
+                          for lvl, m in self.bend_mods.items()}
         noises = noise_kwargs.pop("noises", None)
         if noises is None and noise_kwargs:
             idx = sorted(int(k.replace("noise", "")) for k in noise_kwargs)
@@ -152,7 +173,8 @@ class StyleGAN2Synthesizer:
             noises = list(noises[:n_used]) + [None] * max(0, n_used - len(noises))
             pad = [None] * (self.config.num_layers - len(noises))
             noises = noises + pad
-        return self._fwd(self.params if params is None else params, latents, noises)
+        return self._fwd(self.params if params is None else params, latents, noises,
+                         mod_chunks)
 
 
 class StyleGAN2:

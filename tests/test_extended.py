@@ -442,6 +442,46 @@ def test_patch_with_bends_renders_widescreen(rng, tmp_path):
     assert np.isfinite(frame).all()
 
 
+def test_animated_bend_modulation(rng, tmp_path):
+    """Time-varying bends (tauceti idiom): a bend with a per-frame
+    "modulation" array receives its batch slice as a traced argument; the
+    scroll transform shifts the feature map differently per frame while an
+    unmodulated call (frame 0, shift 0) matches the bend-free output."""
+    import ssar_tpu.generate.audioreactive as ar
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.gan.wrapper import StyleGAN2Synthesizer
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    syn = StyleGAN2Synthesizer(config=cfg, dtype=jnp.float32)
+    lat = jnp.asarray(rng.randn(2, cfg.n_latent, 512).astype(np.float32))
+    base = np.asarray(syn(lat))
+
+    T = 8
+    mod = np.zeros(T, np.float32)
+    mod[4:] = 0.5  # later frames scroll by half the width
+
+    def scroll(x, frac):
+        shift = (frac * x.shape[2]).astype(jnp.int32)
+        return jax.vmap(lambda xi, s: jnp.roll(xi, s, axis=1))(x, shift)
+
+    syn.set_bends([{"layer": 1, "transform": scroll, "modulation": mod}])
+    out0 = np.asarray(syn(lat, frame_idx=jnp.asarray([0, 1])))
+    out4 = np.asarray(syn(lat, frame_idx=jnp.asarray([4, 5])))
+    np.testing.assert_allclose(out0, base, atol=1e-4)     # shift 0 == no bend
+    assert np.abs(out4 - base).max() > 1e-3               # shifted frames differ
+    # the full patch renders end-to-end through render_patch
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
+    audio[:: sr // 2] += 1.0
+    palette = jnp.asarray(rng.randn(6, cfg.n_latent, 512).astype(np.float32))
+    patch = ar.load_patch_module("examples/scrolling_drop_patch.py")
+    out = str(tmp_path / "scroll.mp4")
+    lats, _ = ar.render_patch(patch, audio, sr, palette=palette, synthesizer=syn,
+                              out_file=out, batch_size=16)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    assert syn.bend_mods  # modulation installed
+
+
 @pytest.mark.slow
 def test_random_patch_pipeline_end_to_end(rng, tmp_path):
     """The flagship CLI path (SURVEY §3.2): audio -> MIR -> random Patch ->
