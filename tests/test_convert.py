@@ -73,6 +73,7 @@ def test_rosinality_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(restored["w_avg"]), np.asarray(params["w_avg"]))
 
 
+@pytest.mark.slow
 def test_nvidia_pkl_structural_roundtrip(tmp_path):
     """Build an ada-pytorch-shaped snapshot from our random init (inverse
     layout transposes), load it through the stub unpickler, and require the

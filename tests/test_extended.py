@@ -442,6 +442,7 @@ def test_patch_with_bends_renders_widescreen(rng, tmp_path):
     assert np.isfinite(frame).all()
 
 
+@pytest.mark.slow
 def test_animated_bend_modulation(rng, tmp_path):
     """Time-varying bends (tauceti idiom): a bend with a per-frame
     "modulation" array receives its batch slice as a traced argument; the

@@ -102,6 +102,7 @@ def test_noise_injection_changes_output(rng):
     assert np.abs(np.asarray(img0 - img1)).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_wplus_controls_layers(rng):
     """Different W+ rows affect different resolutions (layerwise control)."""
     params = sg.init_generator(jax.random.PRNGKey(0), CFG)
@@ -143,6 +144,7 @@ def test_network_bends(rng):
     assert np.abs(np.asarray(plain - bent)).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_synthesizer_set_bends(rng):
     from ssar_tpu.gan.wrapper import StyleGAN2Synthesizer
     from ssar_tpu.generate import audioreactive as ar
@@ -210,6 +212,7 @@ def test_npz_save_load_roundtrip(rng):
                                np.asarray(sg.generate(p2, z, CFG)), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_s2d_level_matches_full_path(rng):
     """The space-to-depth final level must equal the full-resolution
     formulation exactly (gan/s2d.py kernel builders)."""

@@ -282,6 +282,7 @@ def test_av_feature_study(tmp_path, rng):
     assert (tmp_path / "av_study_rv2.png").stat().st_size > 0
 
 
+@pytest.mark.slow
 def test_metric_sensitivity_study(rng, tmp_path):
     from ssar_tpu.metrics.rhythmic import dtw_distance, metric_sensitivity_study
 

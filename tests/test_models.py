@@ -20,7 +20,8 @@ def palette(rng):
     return jnp.asarray(rng.randn(36, 18, 512).astype(np.float32))
 
 
-@pytest.mark.parametrize("backbone", ["gru", "lstm", "conv", "mlp", "transformer", "sashimi"])
+@pytest.mark.parametrize("backbone", ["gru", "lstm", "conv", "mlp", "transformer",
+                                      pytest.param("sashimi", marks=pytest.mark.slow)])
 def test_reactor_backbones(rng, palette, backbone):
     x = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
     model = LatentNoiseReactor(jnp.zeros(F), jnp.ones(F), palette, backbone=backbone,

@@ -207,6 +207,7 @@ def test_sliding_median_vjp_matches_sort_gradient(rng):
     assert np.allclose(jax.grad(f)(x), jax.grad(g)(x), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sinkhorn_assignment_recovers_permutation(rng):
     from ssar_tpu.generate.optimize import lap_loss, sinkhorn_assignment
 

@@ -75,6 +75,7 @@ def test_standardize_range(rng):
     assert s.min() == pytest.approx(0.0, abs=1e-6) and s.max() == pytest.approx(1.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_preliminary_study_separates_aligned_from_misaligned(tmp_path):
     """Construction from the reference study: video features that ARE the
     audio features (plus noise) must score better aligned than against the
