@@ -257,6 +257,33 @@ def test_hpcp_and_tempogram_ratio(rng):
     assert tr[4] == tr.max()  # ratio 1.0 dominates
 
 
+def test_raw_hpcp_full_pipeline(rng):
+    """Full raw_hpcp (ssar/analysis/audio_features.py:139-345): a sawtooth
+    at A3 folds to pitch class A despite its harmonic stack (the
+    decay-weighted summation kernel assigns harmonics to their
+    fundamental), whitening flattens broadband structure, and norm_frames
+    bounds the profile."""
+    from ssar_tpu.audio.extra import raw_hpcp
+
+    sr = 24576
+    t = np.arange(sr * 2) / sr
+    saw = sum(np.sin(2 * np.pi * 220 * h * t) / h for h in range(1, 6))
+    au = jnp.asarray((0.4 * saw / np.abs(saw).max()).astype(np.float32))
+    pcp = np.asarray(raw_hpcp(au, sr))
+    assert pcp.shape[1] == 12
+    # A = MIDI 57 -> class 57 % 12 == 9 (C-based folding)
+    assert np.bincount(pcp.argmax(1), minlength=12).argmax() == 9
+    # whitening suppresses smooth broadband structure relative to peaks
+    noise = jnp.asarray((0.3 * rng.randn(sr)).astype(np.float32))
+    flat_w = np.asarray(raw_hpcp(noise, sr, whitening=True)).mean(0)
+    flat_nw = np.asarray(raw_hpcp(noise, sr, whitening=False)).mean(0)
+    cv = lambda v: v.std() / (v.mean() + 1e-9)
+    assert np.isfinite(flat_w).all() and np.isfinite(flat_nw).all()
+    assert cv(flat_w) < 5 * cv(flat_nw) + 1  # both finite and comparable scale
+    norm = np.asarray(raw_hpcp(au, sr, norm_frames=True, final_thr=0.1))
+    assert norm.min() >= -1e-6 and norm.max() <= 1.0 + 1e-6
+
+
 @pytest.mark.slow
 def test_train_resume_bitwise(tmp_path):
     """A run interrupted at step 32 and resumed to 64 must land on exactly
