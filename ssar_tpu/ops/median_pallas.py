@@ -94,7 +94,7 @@ def _sliding_median_impl(x: jax.Array, k: int, f_blk: int = 256, t_blk: int = 25
     out = pl.pallas_call(
         partial(_median_kernel, k, f_blk, t_blk),
         grid=(Fp // f_blk, Tp // t_blk),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((f_blk, t_blk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Fp, Tp), x.dtype),
         interpret=pallas_interpret(),
