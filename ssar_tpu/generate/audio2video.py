@@ -48,6 +48,44 @@ def _audio2video(model_apply, features, out_file: str, model_file: str | None = 
     )
 
 
+def latent2video(audio_file: str | None, latent_file: str, out_file: str,
+                 model_file: str | None = None, output_size=(1024, 1024), fps: int = 24,
+                 batch_size: int = 8, offset: float = 0, duration: float | None = None,
+                 seed: int = 123, gan_config=None) -> str:
+    """Render a saved latent sequence (.npy, (T, n_ws, 512)) to video
+    (ssar/supervised/test.py:598-652): the sequence is re-centered as a
+    residual around a seeded mapper latent, and sibling
+    ``" - Noise {4,8,16,32}.npy"`` pyramids are picked up when present
+    (the reference's export convention)."""
+    latents = jnp.asarray(np.load(latent_file), jnp.float32)
+    start = int(fps * offset)
+    end = int(fps * (offset + duration)) if duration is not None else latents.shape[0]
+    latents = latents[start:end]
+    residuals = latents - latents.mean((0, 1))
+
+    noise = []
+    for s in (4, 8, 16, 32):
+        try:
+            n = np.load(latent_file.replace(".npy", f" - Noise {s}.npy"))[start:end]
+            noise.append(np.asarray(n, np.float32).reshape(n.shape[0], 1, s, s))
+        except FileNotFoundError:
+            noise = []
+            break
+
+    mapper = StyleGAN2Mapper(model_file=model_file, config=gan_config)
+    z = np.random.RandomState(seed).randn(1, 512).astype(np.float32)
+    base = mapper(z)[0]
+
+    synthesizer = StyleGAN2Synthesizer(model_file=model_file, output_size=output_size,
+                                       strategy="stretch", layer=0, config=gan_config)
+    dup = _duplicate_pyramid(noise)[: synthesizer.n_noises_used] if noise else None
+    return render_latents_to_video(
+        synthesizer, base + residuals, dup, out_file, fps=fps,
+        output_size=output_size, batch_size=batch_size, audio_file=audio_file,
+        audio_offset=offset, audio_duration=duration,
+    )
+
+
 def audio2video(model, params, audio_file: str | None, out_file: str,
                 model_file: str | None = None, output_size=(1024, 1024), fps: int = 24,
                 batch_size: int = 8, offset: float = 0, duration: float | None = None,

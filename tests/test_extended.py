@@ -470,6 +470,26 @@ def test_patch_with_bends_renders_widescreen(rng, tmp_path):
 
 
 @pytest.mark.slow
+def test_latent2video_renders_saved_npy(rng, tmp_path):
+    """latent2video (ssar/supervised/test.py:598-652): a saved (T, n_ws, 512)
+    .npy renders as residuals around a seeded mapper latent; sibling
+    ' - Noise {s}.npy' pyramids are picked up when present."""
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.generate.audio2video import latent2video
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    T = 12
+    lat_path = str(tmp_path / "seq.npy")
+    np.save(lat_path, rng.randn(T, cfg.n_latent, 512).astype(np.float32))
+    for s in (4, 8, 16, 32):
+        np.save(str(tmp_path / f"seq - Noise {s}.npy"),
+                rng.randn(T, s, s).astype(np.float32))
+    out = str(tmp_path / "out.mp4")
+    latent2video(None, lat_path, out, output_size=(32, 32), batch_size=8,
+                 gan_config=cfg)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
 def test_animated_bend_modulation(rng, tmp_path):
     """Time-varying bends (tauceti idiom): a bend with a per-frame
     "modulation" array receives its batch slice as a traced argument; the
