@@ -517,7 +517,19 @@ def test_animated_bend_modulation(rng, tmp_path):
     out4 = np.asarray(syn(lat, frame_idx=jnp.asarray([4, 5])))
     np.testing.assert_allclose(out0, base, atol=1e-4)     # shift 0 == no bend
     assert np.abs(out4 - base).max() > 1e-3               # shifted frames differ
-    # the full patch renders end-to-end through render_patch
+
+
+@pytest.mark.slow
+def test_animated_bend_patch_end_to_end(rng, tmp_path):
+    """The scrolling-drop patch renders end-to-end through render_patch with
+    its per-frame bend modulation installed (slow: compiles the full
+    audio2features + render pipeline)."""
+    import ssar_tpu.generate.audioreactive as ar
+    from ssar_tpu.gan import stylegan2 as sg
+    from ssar_tpu.gan.wrapper import StyleGAN2Synthesizer
+
+    cfg = sg.StyleGAN2Config(resolution=32)
+    syn = StyleGAN2Synthesizer(config=cfg, dtype=jnp.float32)
     sr = 1024 * 24
     audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
     audio[:: sr // 2] += 1.0
