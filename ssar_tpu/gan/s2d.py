@@ -122,7 +122,7 @@ def _upconv_blur_keff(K: jax.Array, blur) -> jax.Array:
     return keff
 
 
-def upconv_blur_s2d(x: jax.Array, K: jax.Array, blur) -> jax.Array:
+def upconv_blur_s2d(x: jax.Array, K: jax.Array | None, blur, keff: jax.Array | None = None) -> jax.Array:
     """The styled up path: conv_transpose(stride 2) + 4-tap FIR (pad 1,1) —
     (B, H, W, Cin) full-res -> (B, H, W, 4*Cout) s2d, numerically equal to
     s2d(upfirdn2d(conv_transpose(x, K), blur, pad=(1, 1))).
@@ -130,13 +130,25 @@ def upconv_blur_s2d(x: jax.Array, K: jax.Array, blur) -> jax.Array:
     The two convs are composed into ONE dense (4, 4, Cin, 4*Cout) kernel:
     XLA lowers the grouped phase-mixing conv with an 8x-padded temp, and a
     dense conv keeps everything on the MXU in one pass.
+
+    Pass a precomposed ``keff`` (from :func:`upconv_blur_s2d_keff`) to skip
+    the on-device composition — it depends only on the weights, and building
+    it inside the hot program measured ~45 ms/step at 1024 px (the tiny
+    slice/einsum chain serialises; see prepare_synthesis in stylegan2.py).
     """
-    kh, kw, Cin, Cout = K.shape
-    keff = _upconv_blur_keff(K, blur).reshape(4, 4, Cin, 4 * Cout)
+    if keff is None:
+        kh, kw, Cin, Cout = K.shape
+        keff = _upconv_blur_keff(K, blur).reshape(4, 4, Cin, 4 * Cout)
     out = jax.lax.conv_general_dilated(
         x, keff.astype(x.dtype), (1, 1), ((2, 2), (2, 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return out[:, : x.shape[1], : x.shape[2]]
+
+
+def upconv_blur_s2d_keff(K: jax.Array, blur) -> jax.Array:
+    """Precompose the up-conv+blur kernel for :func:`upconv_blur_s2d`."""
+    kh, kw, Cin, Cout = K.shape
+    return _upconv_blur_keff(K, blur).reshape(4, 4, Cin, 4 * Cout)
 
 
 def blur_s2d_kernel(blur: jax.Array, C: int, dtype=jnp.float32) -> jax.Array:
@@ -198,10 +210,11 @@ def conv3x3_s2d_kernel(K: jax.Array) -> jax.Array:
     return out.reshape(3, 3, 4 * Cin, 4 * Cout)
 
 
-def conv3x3_s2d(x: jax.Array, K: jax.Array) -> jax.Array:
-    ks = conv3x3_s2d_kernel(K).astype(x.dtype)
+def conv3x3_s2d(x: jax.Array, K: jax.Array | None, ks: jax.Array | None = None) -> jax.Array:
+    if ks is None:
+        ks = conv3x3_s2d_kernel(K)
     return jax.lax.conv_general_dilated(
-        x, ks, (1, 1), ((1, 1), (1, 1)),
+        x, ks.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 

@@ -153,13 +153,17 @@ def w_to_wplus(w: jax.Array, config: StyleGAN2Config) -> jax.Array:
 # ------------------------------------------------------------- synthesis --
 def _modulated_conv(p: dict, x: jax.Array, w: jax.Array, *, up: bool = False,
                     demodulate: bool = True, blur_kernel=(1, 3, 3, 1),
-                    dtype=jnp.float32) -> jax.Array:
+                    dtype=jnp.float32, prep: dict | None = None) -> jax.Array:
     """Styled conv via input-modulation / output-demodulation.
 
     x: (B, H, W, Cin) NHWC; w: (B, style_dim).  Equivalent to the reference's
     per-sample-weight grouped conv (ssar/models/stylegan2.py:253-345) but as
     one dense conv: style scales the input channels, demod rescales output
     channels; both are rank-1 w.r.t. the conv and commute with it.
+
+    `prep` (from :func:`prepare_synthesis`) supplies the pre-scaled/cast
+    kernel and the demod Gram `w2` so no weight-derived tensor is computed
+    in the hot program.
     """
     weight = p["weight"]  # (kh, kw, in, out) raw
     kh, kw, cin, cout = weight.shape
@@ -169,18 +173,21 @@ def _modulated_conv(p: dict, x: jax.Array, w: jax.Array, *, up: bool = False,
 
     if demodulate:
         # demod_bo = rsqrt(sum_{i,k} (scale * W_{k i o} * s_{b i})^2 + eps) — f32
-        w2 = (weight.astype(jnp.float32) * wscale) ** 2  # (kh,kw,cin,cout)
-        w2 = jnp.sum(w2, axis=(0, 1))  # (cin, cout)
+        if prep is not None:
+            w2 = prep["w2"]
+        else:
+            w2 = (weight.astype(jnp.float32) * wscale) ** 2  # (kh,kw,cin,cout)
+            w2 = jnp.sum(w2, axis=(0, 1))  # (cin, cout)
         demod = jax.lax.rsqrt(jnp.matmul(style.astype(jnp.float32) ** 2, w2, precision=HIGHEST) + 1e-8)
 
     xs = (x * style[:, None, None, :]).astype(dtype)
-    kernel = (weight * wscale).astype(dtype)
 
     if up:
         # transposed conv stride 2 (torch semantics) + blur, as in the reference;
         # transpose_kernel expects the kernel with (out, in) channel order
+        kernel_t = prep["kernel"] if prep is not None else (weight * wscale).astype(dtype).swapaxes(2, 3)
         out = jax.lax.conv_transpose(
-            xs, kernel.swapaxes(2, 3), strides=(2, 2), padding="VALID",
+            xs, kernel_t.astype(dtype), strides=(2, 2), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
         )
         k = make_blur_kernel(blur_kernel) * 4.0
@@ -189,8 +196,9 @@ def _modulated_conv(p: dict, x: jax.Array, w: jax.Array, *, up: bool = False,
         pad1 = p_ // 2 + 1
         out = upfirdn2d(out, jnp.asarray(k, dtype), pad=(pad0, pad1))
     else:
+        kernel = prep["kernel"] if prep is not None else (weight * wscale).astype(dtype)
         out = jax.lax.conv_general_dilated(
-            xs, kernel, window_strides=(1, 1), padding=((kh // 2,) * 2, (kw // 2,) * 2),
+            xs, kernel.astype(dtype), window_strides=(1, 1), padding=((kh // 2,) * 2, (kw // 2,) * 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
@@ -200,72 +208,114 @@ def _modulated_conv(p: dict, x: jax.Array, w: jax.Array, *, up: bool = False,
 
 
 def styled_conv(p: dict, x: jax.Array, w: jax.Array, noise: jax.Array | None, *,
-                up: bool = False, blur_kernel=(1, 3, 3, 1), dtype=jnp.float32) -> jax.Array:
-    out = _modulated_conv(p, x, w, up=up, demodulate=True, blur_kernel=blur_kernel, dtype=dtype)
+                up: bool = False, blur_kernel=(1, 3, 3, 1), dtype=jnp.float32,
+                prep: dict | None = None) -> jax.Array:
+    out = _modulated_conv(p, x, w, up=up, demodulate=True, blur_kernel=blur_kernel,
+                          dtype=dtype, prep=prep)
     if noise is not None:
         out = out + p["noise_weight"].astype(out.dtype) * noise.astype(out.dtype)
     return fused_leaky_relu(out, p["bias"].astype(out.dtype))
 
 
 def to_rgb(p: dict, x: jax.Array, w: jax.Array, skip: jax.Array | None = None,
-           dtype=jnp.float32) -> jax.Array:
-    out = _modulated_conv(p, x, w, demodulate=False, dtype=dtype) + p["bias"].astype(dtype)
+           dtype=jnp.float32, prep: dict | None = None) -> jax.Array:
+    out = _modulated_conv(p, x, w, demodulate=False, dtype=dtype, prep=prep) + p["bias"].astype(dtype)
     if skip is not None:
         out = out + upsample2x(skip)
     return out
 
 
-def _style_demod(p: dict, w: jax.Array, demodulate: bool = True):
-    """(style (B, cin), demod (B, cout) | None, scaled kernel fn inputs)."""
+def _style_demod(p: dict, w: jax.Array, demodulate: bool = True, prep: dict | None = None):
+    """(style (B, cin), demod (B, cout) | None, scaled kernel fn inputs).
+
+    With `prep`, the demod Gram comes precomputed and the returned kernel is
+    None (callers then use prep's composed kernels directly)."""
     weight = p["weight"]
     kh, kw, cin, cout = weight.shape
     wscale = 1.0 / np.sqrt(cin * kh * kw)
     style = equal_linear(p["mod"], w)
     demod = None
     if demodulate:
-        w2 = jnp.sum((weight.astype(jnp.float32) * wscale) ** 2, axis=(0, 1))
+        if prep is not None:
+            w2 = prep["w2"]
+        else:
+            w2 = jnp.sum((weight.astype(jnp.float32) * wscale) ** 2, axis=(0, 1))
         demod = jax.lax.rsqrt(
             jnp.matmul(style.astype(jnp.float32) ** 2, w2, precision=HIGHEST) + 1e-8)
-    return style, demod, weight * wscale
+    return style, demod, (None if prep is not None else weight * wscale)
 
 
 def _final_level_s2d(pu: dict, pc: dict, pr: dict, x: jax.Array, wu, wc, wr,
-                     nu, nc, skip: jax.Array, blur_kernel, dtype) -> jax.Array:
+                     nu, nc, skip: jax.Array, blur_kernel, dtype,
+                     prep: dict | None = None) -> jax.Array:
     """One whole resolution level (up-conv, conv, to_rgb + skip) computed in
     space-to-depth form (gan/s2d.py): activations stay (B, H/2, W/2, 4C) so
     the low channel counts at high resolution don't lane-pad every pass.
     Numerically equal to the full-resolution formulation (tests/test_gan.py).
-    Returns the new full-resolution skip image."""
+    Returns the new full-resolution skip image.
+
+    `prep` = prepare_synthesis(...)["final"][res]: the composed s2d kernels
+    (keff/k3/k1) and demod Grams, so the hot program contains no kernel
+    composition (on-device composition measured ~90 ms/step at 1024 px)."""
     from .s2d import (conv1x1_s2d_kernel, conv3x3_s2d, depth_to_space, noise_to_s2d,
                       repeat4, upconv_blur_s2d, upsample2x_s2d)
 
     blur = make_blur_kernel(blur_kernel) * 4.0  # numpy: stays a jit constant
+    pre_u = prep["up"] if prep is not None else None
+    pre_c = prep["conv"] if prep is not None else None
+    pre_r = prep["rgb"] if prep is not None else None
+
+    def mul_c4(h, vec):
+        """h (B, H, W, 4C) [layout c*4 + phase] * per-channel vec (B, C).
+
+        Expressed as a 5-D (C, 4)-view broadcast multiply rather than
+        ``h * repeat4(vec)[:, None, None, :]``: jnp.repeat is
+        broadcast+reshape, which XLA cannot fuse into a consuming conv
+        fusion — it materialised the (B, H, W, 4C) broadcast and relayout-
+        copied it (2 x 19 ms/step at 1024 px measured).  A plain broadcast
+        over the minor split dims fuses for free."""
+        B_, H_, W_, C4 = h.shape
+        h5 = h.reshape(B_, H_, W_, C4 // 4, 4)
+        return (h5 * vec[:, None, None, :, None].astype(h.dtype)).reshape(h.shape)
+
+    def add_noise_c4(h, n4, weight):
+        """h (B, H, W, 4C) + weight * n4 (B, H, W, 4) broadcast over c.
+
+        The barrier materialises n4 itself (H*W*4, small) so the broadcast
+        over c happens INSIDE the consuming fusion; without it XLA
+        materialises the full (B, H, W, 4C) broadcast and relayout-copies
+        it (19 ms/step each at 1024 px measured)."""
+        n4 = jax.lax.optimization_barrier(n4)
+        B_, H_, W_, C4 = h.shape
+        h5 = h.reshape(B_, H_, W_, C4 // 4, 4)
+        h5 = h5 + weight.astype(h.dtype) * n4[:, :, :, None, :]
+        return h5.reshape(h.shape)
 
     # up conv (modulated)
-    style, demod, kernel = _style_demod(pu, wu)
+    style, demod, kernel = _style_demod(pu, wu, prep=pre_u)
     xs = (x * style[:, None, None, :]).astype(dtype)
-    h = upconv_blur_s2d(xs, kernel.astype(dtype), blur)
-    h = h * repeat4(demod)[:, None, None, :].astype(h.dtype)
+    h = upconv_blur_s2d(xs, None if kernel is None else kernel.astype(dtype), blur,
+                        keff=None if pre_u is None else pre_u["keff"])
+    h = mul_c4(h, demod)
     if nu is not None:
-        n4 = noise_to_s2d(nu.astype(h.dtype))  # (B, H, W, 4)
-        h = h + pu["noise_weight"].astype(h.dtype) * jnp.tile(n4, (1, 1, 1, h.shape[-1] // 4))
+        h = add_noise_c4(h, noise_to_s2d(nu.astype(h.dtype)), pu["noise_weight"])
     h = fused_leaky_relu(h, repeat4(pu["bias"]).astype(h.dtype))
 
     # regular conv (modulated)
-    style2, demod2, kernel2 = _style_demod(pc, wc)
-    xs2 = h * repeat4(style2)[:, None, None, :].astype(h.dtype)
-    h = conv3x3_s2d(xs2, kernel2.astype(dtype))
-    h = h * repeat4(demod2)[:, None, None, :].astype(h.dtype)
+    style2, demod2, kernel2 = _style_demod(pc, wc, prep=pre_c)
+    xs2 = mul_c4(h, style2)
+    h = conv3x3_s2d(xs2, None if kernel2 is None else kernel2.astype(dtype),
+                    ks=None if pre_c is None else pre_c["k3"])
+    h = mul_c4(h, demod2)
     if nc is not None:
-        n4 = noise_to_s2d(nc.astype(h.dtype))
-        h = h + pc["noise_weight"].astype(h.dtype) * jnp.tile(n4, (1, 1, 1, h.shape[-1] // 4))
+        h = add_noise_c4(h, noise_to_s2d(nc.astype(h.dtype)), pc["noise_weight"])
     h = fused_leaky_relu(h, repeat4(pc["bias"]).astype(h.dtype))
 
     # to_rgb (no demod) + upsampled skip, still in s2d
-    style3, _, kernel3 = _style_demod(pr, wr, demodulate=False)
-    xs3 = h * repeat4(style3)[:, None, None, :].astype(h.dtype)
-    k1 = conv1x1_s2d_kernel(kernel3.astype(dtype))
-    rgb = jax.lax.conv_general_dilated(xs3, k1, (1, 1), "SAME",
+    style3, _, kernel3 = _style_demod(pr, wr, demodulate=False, prep=pre_r)
+    xs3 = mul_c4(h, style3)
+    k1 = pre_r["k1"] if pre_r is not None else conv1x1_s2d_kernel(kernel3.astype(dtype))
+    rgb = jax.lax.conv_general_dilated(xs3, k1.astype(dtype), (1, 1), "SAME",
                                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     rgb = rgb + repeat4(pr["bias"]).astype(rgb.dtype)
     rgb = rgb + upsample2x_s2d(skip.astype(dtype), blur)
@@ -326,10 +376,67 @@ def _final_level_s2d4(pu: dict, pc: dict, pr: dict, x2: jax.Array, wu, wc, wr,
     return rgb  # block-4 (channel = c*16 + 4*py + px)
 
 
+def prepare_synthesis(params: dict, config: StyleGAN2Config, dtype=jnp.float32) -> dict:
+    """Precompute every weight-derived constant of the synthesis pass.
+
+    The modulate-input/demodulate-output design makes all conv kernels
+    style-independent, so scaling, casting, transposing and s2d-composing
+    them is per-checkpoint work, not per-batch work.  Computing them inside
+    the jitted step measured ~90 ms of a 214 ms step at 1024 px/B=64 on v5e
+    (the composition lowers to a serialised chain of tiny slice/einsum
+    fusions).  Returns a pytree to pass as ``synthesis(..., prep=...)``;
+    rebuild it whenever `params` change (it is itself jittable).
+    """
+    from .s2d import conv1x1_s2d_kernel, conv3x3_s2d_kernel, upconv_blur_s2d_keff
+
+    blur = make_blur_kernel(config.blur_kernel) * 4.0
+
+    def conv_prep(p, up=False):
+        weight = p["weight"]
+        kh, kw, cin, cout = weight.shape
+        wscale = 1.0 / np.sqrt(cin * kh * kw)
+        scaled = weight * wscale
+        w2 = jnp.sum(scaled.astype(jnp.float32) ** 2, axis=(0, 1))
+        kernel = scaled.astype(dtype).swapaxes(2, 3) if up else scaled.astype(dtype)
+        return {"kernel": kernel, "w2": w2, "scaled": scaled}
+
+    def rgb_prep(p):
+        weight = p["weight"]
+        kh, kw, cin, cout = weight.shape
+        scaled = weight * (1.0 / np.sqrt(cin * kh * kw))
+        return {"kernel": scaled.astype(dtype), "scaled": scaled}
+
+    prep = {
+        "conv1": conv_prep(params["conv1"]),
+        "to_rgb1": rgb_prep(params["to_rgb1"]),
+        "convs": [conv_prep(p, up=(i % 2 == 0)) for i, p in enumerate(params["convs"])],
+        "to_rgbs": [rgb_prep(p) for p in params["to_rgbs"]],
+        "final": {},
+    }
+    # composed s2d kernels for every level the s2d final-level gate can take
+    for level, conv in enumerate(params["convs"][1::2]):
+        res = 2 ** (level + 3)
+        out_ch = conv["weight"].shape[-1]
+        if out_ch < 128:
+            up_p = prep["convs"][2 * level]
+            c_p = prep["convs"][2 * level + 1]
+            r_p = prep["to_rgbs"][level]
+            prep["final"][res] = {
+                "up": {"w2": up_p["w2"],
+                       "keff": upconv_blur_s2d_keff(up_p["scaled"], blur).astype(dtype)},
+                "conv": {"w2": c_p["w2"], "k3": conv3x3_s2d_kernel(c_p["scaled"]).astype(dtype)},
+                "rgb": {"k1": conv1x1_s2d_kernel(r_p["scaled"]).astype(dtype)},
+            }
+    # the general path consumes "kernel"/"w2" only; drop the f32 staging copies
+    for entry in [prep["conv1"], prep["to_rgb1"], *prep["convs"], *prep["to_rgbs"]]:
+        entry.pop("scaled", None)
+    return prep
+
+
 def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
               config: StyleGAN2Config, *, dtype=jnp.float32, output_size: int | None = None,
               return_features: bool = False, bends: dict | None = None,
-              bend_mods: dict | None = None):
+              bend_mods: dict | None = None, prep: dict | None = None):
     """W+ latents (B, n_latent, 512) [+ noises list of (B, H, W, 1)] -> images
     (B, R, R, 3) in [-1, 1] (unclamped).
 
@@ -368,11 +475,13 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
 
     feats = []
     x = jnp.broadcast_to(params["const"].astype(dtype), (B,) + params["const"].shape)
-    x = styled_conv(params["conv1"], x, latents[:, 0], noises[0], dtype=dtype)
+    x = styled_conv(params["conv1"], x, latents[:, 0], noises[0], dtype=dtype,
+                    prep=None if prep is None else prep["conv1"])
     if 0 in bends:
         x = apply_bend(0, x)
     feats.append(x)
-    skip = to_rgb(params["to_rgb1"], x, latents[:, 1], dtype=dtype)
+    skip = to_rgb(params["to_rgb1"], x, latents[:, 1], dtype=dtype,
+                  prep=None if prep is None else prep["to_rgb1"])
 
     if output_size is not None and output_size == 4:
         return (skip.astype(jnp.float32), feats) if return_features else skip.astype(jnp.float32)
@@ -394,16 +503,20 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
                                           latents[:, i], latents[:, i + 1],
                                           latents[:, i + 2],
                                           noises[i], noises[i + 1], skip,
-                                          config.blur_kernel, dtype)
+                                          config.blur_kernel, dtype,
+                                          prep=None if prep is None else prep["final"][res])
             skip = depth_to_space(rgb_s2d)
             i += 2
             break
-        x = styled_conv(conv_up, x, latents[:, i], noises[i], up=True, dtype=dtype)
-        x = styled_conv(conv, x, latents[:, i + 1], noises[i + 1], dtype=dtype)
+        x = styled_conv(conv_up, x, latents[:, i], noises[i], up=True, dtype=dtype,
+                        prep=None if prep is None else prep["convs"][2 * level])
+        x = styled_conv(conv, x, latents[:, i + 1], noises[i + 1], dtype=dtype,
+                        prep=None if prep is None else prep["convs"][2 * level + 1])
         if (level + 1) in bends:
             x = apply_bend(level + 1, x)
         feats.append(x)
-        skip = to_rgb(params["to_rgbs"][level], x, latents[:, i + 2], skip, dtype=dtype)
+        skip = to_rgb(params["to_rgbs"][level], x, latents[:, i + 2], skip, dtype=dtype,
+                      prep=None if prep is None else prep["to_rgbs"][level])
         i += 2
         if output_size is not None and res >= output_size:
             break

@@ -98,16 +98,20 @@ class StyleGAN2Synthesizer:
 
         self.bends: dict = {}
         self.bend_mods: dict = {}  # level -> full-track (T, ...) modulation
+        # weight-derived synthesis constants (scaled/cast/s2d-composed
+        # kernels, demod Grams): per-checkpoint work hoisted out of the hot
+        # program (prepare_synthesis docstring; ~90 ms/step at 1024px)
+        self._prep = jax.jit(lambda p: sg.prepare_synthesis(p, self.config, self.dtype))(self.params)
         self._fwd = self._make_fwd()
 
     def _make_fwd(self):
         bends = dict(self.bends)  # captured at trace time; set_bends re-jits
 
         @partial(jax.jit, static_argnames=())
-        def _fwd(params, latents, noises, bend_mods):
+        def _fwd(params, prep, latents, noises, bend_mods):
             img = sg.synthesis(params, latents, noises, self.config, dtype=self.dtype,
                                output_size=self.synth_res, bends=bends,
-                               bend_mods=bend_mods)
+                               bend_mods=bend_mods, prep=prep)
             if self.output_size is not None and (img.shape[1], img.shape[2]) != tuple(self.output_size[::-1]):
                 h, w = self.output_size[1], self.output_size[0]
                 img = jax.image.resize(img, (img.shape[0], h, w, 3), method="bilinear")
@@ -139,13 +143,15 @@ class StyleGAN2Synthesizer:
         log = int(np.log2(self.synth_res))
         return (log - 2) * 2 + 1
 
-    def __call__(self, latents, params=None, frame_idx=None, **noise_kwargs) -> jax.Array:
+    def __call__(self, latents, params=None, frame_idx=None, prep=None, **noise_kwargs) -> jax.Array:
         """latents (B, n_ws, 512); noise via noise0..noiseN kwargs (NCHW) or
         `noises=[...]`. Returns (B, H, W, 3) in [-1, 1] (unclamped).
 
         `params` overrides the stored weights — pass it when calling from
         inside an outer jit so the weights are traced arguments rather than
-        120 MB of embedded HLO constants (see generate/sample.py).
+        120 MB of embedded HLO constants (see generate/sample.py).  When
+        overriding, pass the matching `prep` (synthesizer._prep for the
+        stored weights) or the per-call kernel preparation is recomputed.
 
         `frame_idx` (B,) absolute frame numbers of this batch — required
         only when animated bends (set_bends with "modulation") are
@@ -173,8 +179,9 @@ class StyleGAN2Synthesizer:
             noises = list(noises[:n_used]) + [None] * max(0, n_used - len(noises))
             pad = [None] * (self.config.num_layers - len(noises))
             noises = noises + pad
-        return self._fwd(self.params if params is None else params, latents, noises,
-                         mod_chunks)
+        if params is None:
+            params, prep = self.params, self._prep
+        return self._fwd(params, prep, latents, noises, mod_chunks)
 
 
 class StyleGAN2:

@@ -95,9 +95,9 @@ def generate(audio_file: str | None = None, patch_file: str | None = None, seed:
     # the noise trees ride along as a pytree ARGUMENT (see generate/noise.py
     # _register) so their banks are referenced, not embedded as constants
     @jax.jit
-    def render_chunk(L, i, mods, params):
+    def render_chunk(L, i, mods, params, prep):
         N = {f"noise{j}": nm.forward(i, bs)[:, None] for j, nm in enumerate(mods)}
-        frames = jnp.clip((G.synthesizer(latents=L, params=params, **N) + 1) / 2, 0, 1)
+        frames = jnp.clip((G.synthesizer(latents=L, params=params, prep=prep, **N) + 1) / 2, 0, 1)
         # device-side uint8: halves HBM pressure of the double buffer and
         # cuts the device->host fetch 4x
         return (frames * 255.0 + 0.5).astype(jnp.uint8)
@@ -116,7 +116,8 @@ def generate(audio_file: str | None = None, patch_file: str | None = None, seed:
         for s in starts + [None]:  # double buffer: one chunk in flight
             nxt = None if s is None else render_chunk(latents[s : s + bs],
                                                       jnp.asarray(s, jnp.int32), noise,
-                                                      G.synthesizer.params)
+                                                      G.synthesizer.params,
+                                                      G.synthesizer._prep)
             if pending is not None:
                 host = np.asarray(pending)
                 skip = video.frames_written - pending_start  # overlap already written
