@@ -111,7 +111,8 @@ def bench_longform(seconds=180, fps=24, resolution=1024, batch_size=64, out="/tm
     params = model.init({"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
                         F[None, :16])
     t0 = time.time()
-    latents, noise = model.apply(params, F[None], rngs={"noise": jax.random.PRNGKey(3)})
+    apply = jax.jit(lambda p, f, k: model.apply(p, f, rngs={"noise": k}))
+    latents, noise = apply(params, F[None], jax.random.PRNGKey(3))
     np.asarray(latents[0, 0, 0, 0])
     t_model = time.time() - t0
 

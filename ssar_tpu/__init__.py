@@ -64,6 +64,8 @@ if not _os.environ.get("SSAR_TPU_NO_COMPILE_CACHE"):
             _os.path.expanduser(f"~/.cache/ssar_tpu_jax/{_tag}"))
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # On the tunneled remote-compile runtime even sub-second programs
+        # cost a full round trip to rebuild; persist everything.
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass

@@ -66,15 +66,21 @@ def istft(spec: jax.Array, n_fft: int = 2048, hop_length: int = 1024, center: bo
     out_len = (n_frames - 1) * hop_length + n_fft
     if hop_length == 1:
         # hop-1 overlap-add (the PLP inverse-tempogram path): the scatter is
-        # y[m] = sum_k frames[m - k, k], which is ONE dense conv with a
-        # delta kernel W[tap, in=k, out] = [tap == k] — an MXU pass instead
-        # of a 370k-element scatter.
+        # y[m] = sum_k frames[m - k, k] — an anti-diagonal sum of the frame
+        # matrix, expressed as one gather over a zero-padded copy plus a
+        # K-axis reduction.  (The delta-kernel dense-conv formulation kept
+        # it on the MXU but XLA's convolution passes compile it
+        # pathologically above T ~ 1000 frames: >10 min at T=4320 on both
+        # CPU and the remote TPU compiler; the gather compiles in seconds
+        # and is bandwidth-bound at runtime.)
         T = n_frames
-        W = jnp.eye(n_fft, dtype=frames.dtype)[::-1][:, :, None]  # (tap, in, 1)
-        fp = jnp.pad(frames, ((n_fft - 1, n_fft - 1), (0, 0)))
-        y = jax.lax.conv_general_dilated(
-            fp[None], W, (1,), "VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"))[0, :, 0]
+        L = out_len  # T + n_fft - 1
+        fp = jnp.pad(frames, ((0, L - T), (0, 0)))
+        m = jnp.arange(L)[:, None]
+        k = jnp.arange(n_fft)[None, :]
+        # (m - k) mod L: negative shifts wrap into the zero-padded tail, so
+        # no mask is needed (m - k >= T also lands in padding by range).
+        y = jnp.sum(jnp.take_along_axis(fp, (m - k) % L, axis=0), axis=1)
         w2 = win.astype(frames.dtype) ** 2
         env = jnp.convolve(jnp.ones(T, frames.dtype), w2, mode="full")
     elif 2 * hop_length == n_fft:

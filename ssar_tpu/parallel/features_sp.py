@@ -86,9 +86,15 @@ def _chunk_plan(T: int, n_chunks: int, halo_frames: int = HALO_FRAMES):
     return fpc, halo, chunk_frames, starts, keep
 
 
+@partial(jax.jit, static_argnames=("fpc", "T", "sr", "fps", "clamp", "smooth"))
 def _assemble(local, mel_bands, rms, keep_off, fpc, T, sr, fps, clamp, smooth):
     """Pass 2: trim keep windows, assemble whole-track envelopes, compute all
-    global-context features + postprocessing.  Inputs are (N, ...) stacks."""
+    global-context features + postprocessing.  Inputs are (N, ...) stacks.
+
+    Jitted as ONE program: run eagerly this pass is ~10^2 individually-
+    dispatched tiny ops, which on the tunneled runtime costs minutes of
+    round trips + sub-threshold compiles on EVERY run (measured: the eager
+    pass dominated the longform pipeline)."""
     from ..ops.gaussian import gaussian_filter
     from ..ops.quantile import clamp_lower_percentile, clamp_peaks_percentile
 
