@@ -67,6 +67,20 @@ class VideoWriter:
         self._writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
         self.frames_written += 1
 
+    def write_i420(self, frame) -> None:
+        """frame: (H*3//2, W) uint8 I420 (see gan/render.py:rgb_to_i420) at
+        exactly the writer's output size — the half-size device->host path."""
+        import cv2
+
+        frame = np.asarray(frame)
+        if frame.ndim == 3:
+            frame = frame[0]
+        W, H = self.output_size
+        if frame.shape != (H * 3 // 2, W):
+            raise ValueError(f"I420 frame {frame.shape} != output size {(H * 3 // 2, W)}")
+        self._writer.write(cv2.cvtColor(frame, cv2.COLOR_YUV2BGR_I420))
+        self.frames_written += 1
+
     def __exit__(self, exc_type, exc, tb):
         if self._writer is not None:
             self._writer.release()

@@ -98,8 +98,14 @@ def generate(audio_file: str | None = None, patch_file: str | None = None, seed:
     def render_chunk(L, i, mods, params, prep):
         N = {f"noise{j}": nm.forward(i, bs)[:, None] for j, nm in enumerate(mods)}
         frames = jnp.clip((G.synthesizer(latents=L, params=params, prep=prep, **N) + 1) / 2, 0, 1)
-        # device-side uint8: halves HBM pressure of the double buffer and
-        # cuts the device->host fetch 4x
+        # device-side I420 (gan/render.py:rgb_to_i420): 1.5 B/px over the
+        # device->host link (vs 12 for f32 RGB), and the encoder consumes
+        # YUV anyway; fall back to uint8 RGB at odd sizes
+        if (frames.shape[1] == out_size[1] and frames.shape[2] == out_size[0]
+                and out_size[1] % 4 == 0 and out_size[0] % 2 == 0):
+            from ..gan.render import rgb_to_i420
+
+            return rgb_to_i420(frames)
         return (frames * 255.0 + 0.5).astype(jnp.uint8)
 
     starts = list(range(0, T - bs + 1, bs))
@@ -122,7 +128,7 @@ def generate(audio_file: str | None = None, patch_file: str | None = None, seed:
                 host = np.asarray(pending)
                 skip = video.frames_written - pending_start  # overlap already written
                 for f in host[skip:]:
-                    video.write(f)
+                    video.write_i420(f) if f.ndim == 2 else video.write(f)
             pending, pending_start = nxt, (s or 0)
     print(f"wrote {out_file}")
     return out_file

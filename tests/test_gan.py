@@ -199,6 +199,53 @@ def test_video_writer_roundtrip(rng):
         assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
 
 
+def test_rgb_to_i420_matches_cv2(rng):
+    """Device-side I420 packing (gan/render.py): the packed planes match
+    cv2's own BGR2YUV_I420 encoder within quantisation, and decoding with
+    cv2's YUV2BGR_I420 round-trips no worse than cv2's own encode does."""
+    import cv2
+
+    from ssar_tpu.gan.render import rgb_to_i420
+
+    H = W = 32
+    yy, xx = np.mgrid[0:H, 0:W] / H
+    rgb = np.stack([0.2 + 0.6 * yy, 0.5 + 0.4 * np.sin(xx * 6), 0.8 - 0.5 * xx],
+                   -1).astype(np.float32)
+    packed = np.asarray(rgb_to_i420(jnp.asarray(rgb)[None]))[0]
+    orig = (np.clip(rgb, 0, 1) * 255 + 0.5).astype(np.uint8)
+
+    cv2enc = cv2.cvtColor(orig[..., ::-1], cv2.COLOR_BGR2YUV_I420)
+    assert packed.shape == cv2enc.shape == (H * 3 // 2, W)
+    diff = np.abs(packed.astype(int) - cv2enc.astype(int))
+    assert diff[:H].max() <= 2  # luma: same matrix, quantisation only
+    # chroma differs more: cv2 point-samples the 2x2 block, we average it
+    assert diff[H:].max() <= 8
+
+    dec = cv2.cvtColor(packed, cv2.COLOR_YUV2BGR_I420)[..., ::-1].astype(int)
+    dec_cv2 = cv2.cvtColor(cv2enc, cv2.COLOR_YUV2BGR_I420)[..., ::-1].astype(int)
+    ours = np.abs(dec - orig.astype(int)).mean()
+    theirs = np.abs(dec_cv2 - orig.astype(int)).mean()
+    assert ours <= theirs + 0.25, (ours, theirs)
+
+
+def test_render_latents_i420_auto(rng, tmp_path):
+    """render_latents_to_video auto-selects the half-bandwidth I420 path at
+    divisible sizes and produces a playable mp4 with the right frames."""
+    import cv2
+
+    from ssar_tpu.gan.render import render_latents_to_video
+    from ssar_tpu.gan.wrapper import StyleGAN2Synthesizer
+
+    syn = StyleGAN2Synthesizer(config=CFG, dtype=jnp.float32)
+    lat = jnp.asarray(rng.randn(5, CFG.n_latent, 512).astype(np.float32))
+    out = str(tmp_path / "i420.mp4")
+    render_latents_to_video(syn, lat, None, out, fps=8, batch_size=2, progress=False)
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    ok, frame = cap.read()
+    assert ok and frame.shape == (CFG.resolution, CFG.resolution, 3)
+
+
 def test_npz_save_load_roundtrip(rng):
     from ssar_tpu.gan.convert import load_npz, save_npz
 
