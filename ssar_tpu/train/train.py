@@ -91,6 +91,28 @@ def make_train_step(model, optimizer, loss_mode: str):
         return train_step(params, opt_state, batch, key)
 
     @jax.jit
+    def train_step_scan(params, opt_state, data, sels, key):
+        """K fused optimiser steps in ONE dispatch: `sels` is (K, B) int32
+        and lax.scan runs the gather+step body K times on device.  One
+        program submission per step left throughput dispatch-bound on
+        high-latency runtimes (~13 ms device step under ~90 ms of tunnel
+        round trips → ~300 ex/s); fusing K=64 steps amortises the round
+        trip to ~1.4 ms/step.  Key evolution and gather order are
+        identical to stepping train_step_gather K times."""
+        def body(carry, sel):
+            params, opt_state, key = carry
+            batch = tuple(jnp.take(a, sel, axis=0) for a in data)
+            nkey, dkey, key = jax.random.split(key, 3)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch,
+                                                      {"noise": nkey, "dropout": dkey})
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(body, (params, opt_state, key), sels)
+        return params, opt_state, losses, key
+
+    @jax.jit
     def eval_step(params, batch, key):
         """Loss-mode-aware validation (ssar/train.py:91-148): the val curve
         scores the SAME quantity the run optimises, plus supervised MSE as a
@@ -114,7 +136,7 @@ def make_train_step(model, optimizer, loss_mode: str):
         fcd_seq = preds_lat.reshape(preds_lat.shape[0], preds_lat.shape[1], -1)
         return mode_loss, mse, lat_sample, fcd_seq
 
-    return train_step, train_step_gather, eval_step
+    return train_step, train_step_gather, eval_step, train_step_scan
 
 
 
@@ -255,7 +277,8 @@ def main(argv=None):
 
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
-    train_step, train_step_gather, eval_step = make_train_step(model, optimizer, args.loss)
+    train_step, train_step_gather, eval_step, train_step_scan = make_train_step(
+        model, optimizer, args.loss)
 
     mesh = get_mesh()
     params = replicate(params, mesh)
@@ -362,26 +385,63 @@ def main(argv=None):
     flush_window = max(args.batch_size * 256, args.eval_every)
 
     def flush_pending():
-        losses = [float(l) for _, l in pending]  # one sync per window
-        for (step_i, _), v in zip(pending, losses):
-            writer.scalar(f"Loss/{args.loss}", v, step_i)
+        # entries are (first_it, device scalar | device (K,) vector); fetch
+        # once per entry — one sync per fused group, not per step
+        losses = []
+        for step_i, v in pending:
+            arr = np.atleast_1d(np.asarray(v))
+            for j, x in enumerate(arr):
+                writer.scalar(f"Loss/{args.loss}", float(x), step_i + j * args.batch_size)
+                losses.append(float(x))
         pending.clear()
         return losses
 
+    def pending_examples():
+        return sum((v.shape[0] if getattr(v, "ndim", 0) else 1)
+                   for _, v in pending) * args.batch_size
+
+    K_MAX = 64  # fused steps per dispatch (train_step_scan)
+
+    def steps_until_event(it):
+        """How many steps can fuse into one dispatch starting at `it`: the
+        group may only END on an eval/ckpt boundary (the original loop
+        evals/checkpoints immediately after stepping a boundary `it`)."""
+        k = min(K_MAX, (args.n_examples - it + args.batch_size - 1) // args.batch_size)
+        for M in (args.eval_every, args.ckpt_every):
+            d = (-it) % M
+            if d == 0:
+                return 1  # current step IS the boundary: run it alone
+            if d % args.batch_size == 0:  # boundary reachable by whole steps
+                k = min(k, d // args.batch_size + 1)
+        return max(k, 1)
+
     t0 = time.time()
     val_loss = float("nan")
-    for it in range(start_it, args.n_examples, args.batch_size):
+    it = start_it
+    while it < args.n_examples:
         if device_data is not None:
-            sel = jnp.asarray(next(idx_stream), jnp.int32)
-            params, opt_state, loss, key = train_step_gather(
-                params, opt_state, device_data, sel, key)
+            # keep the loss ON DEVICE: a float() here would synchronise every
+            # step, and on the tunneled runtime the ~25 ms round-trip
+            # dominates the 13 ms step (measured 692 -> 2453 ex/s pipelined).
+            # Fuse K steps into one lax.scan dispatch: per-step submission
+            # left throughput dispatch-bound (~300 ex/s of a 2450 ex/s step).
+            k_steps = steps_until_event(it)
+            if k_steps > 1:
+                sels = jnp.asarray(np.stack([next(idx_stream) for _ in range(k_steps)]),
+                                   jnp.int32)
+                params, opt_state, loss_vec, key = train_step_scan(
+                    params, opt_state, device_data, sels, key)
+                pending.append((it, loss_vec))
+                it += (k_steps - 1) * args.batch_size  # land on the group's last step
+            else:
+                sel = jnp.asarray(next(idx_stream), jnp.int32)
+                params, opt_state, loss, key = train_step_gather(
+                    params, opt_state, device_data, sel, key)
+                pending.append((it, loss))
         else:
             batch = tuple(shard_batch(jnp.asarray(b), mesh) for b in next(batches))
             params, opt_state, loss, key = train_step(params, opt_state, batch, key)
-        # keep the loss ON DEVICE: a float() here would synchronise every
-        # step, and on the tunneled runtime the ~25 ms round-trip dominates
-        # the 13 ms step (measured 692 -> 2453 ex/s pipelined)
-        pending.append((it, loss))
+            pending.append((it, loss))
 
         if it % args.eval_every == 0:
             losses = flush_pending()
@@ -430,7 +490,7 @@ def main(argv=None):
             train_loss = float(np.mean(losses)) if losses else float("nan")
             print(f"iter {it}  train {train_loss:.4f}  val {val_loss:.4f}  {rate:.1f} ex/s")
 
-        elif len(pending) * args.batch_size >= flush_window:
+        elif pending_examples() >= flush_window:
             # eval_every not aligned to batch_size multiples must not leave
             # scalars buffered for the whole run (TensorBoard stays empty
             # until the final drain otherwise)
@@ -447,6 +507,8 @@ def main(argv=None):
                     print(f"checkpoint render: {out}")
                 except Exception as e:
                     print(f"checkpoint render skipped: {e}")
+
+        it += args.batch_size
 
     flush_pending()  # drain the last logging window
     ckpt_mgr.save(args.n_examples, args=ocp.args.StandardSave(ckpt_state(args.n_examples)))

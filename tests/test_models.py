@@ -183,7 +183,7 @@ def test_training_step_decreases_loss(rng):
     params = model.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
     opt = optax.adam(2e-3)
     opt_state = opt.init(params)
-    train_step, _, _ = make_train_step(model, opt, "supervised")
+    train_step, *_ = make_train_step(model, opt, "supervised")
 
     batch = tuple(jnp.asarray(b) for b in next(ds.batches(4, seed=0)))
     key = jax.random.PRNGKey(0)
@@ -192,6 +192,42 @@ def test_training_step_decreases_loss(rng):
         params, opt_state, loss, key = train_step(params, opt_state, batch, key)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_scan_steps_match_individual_steps(rng):
+    """K fused lax.scan steps (train_step_scan) produce the same params,
+    opt state, key, and per-step losses as K individual gather steps."""
+    import optax
+
+    from ssar_tpu.train.data import compute_stats, synthetic_dataset
+    from ssar_tpu.train.train import make_train_step
+
+    ds = synthetic_dataset(n_windows=12, n_frames=24)
+    mean, std = compute_stats(ds.features)
+    model = LatentNoiseReactor(jnp.asarray(mean), jnp.asarray(std), None, decoder="learned",
+                               backbone="mlp", hidden_size=16, num_layers=1, residual=False)
+    x = jnp.asarray(ds.features[:4])
+    params = model.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
+    opt = optax.adam(2e-3)
+    _, step_gather, _, step_scan = make_train_step(model, opt, "supervised")
+
+    data = tuple(jnp.asarray(a) for a in (ds.features, ds.latents, *ds.noises))
+    K, B = 4, 3
+    sels = jnp.asarray(rng.randint(0, data[0].shape[0], size=(K, B)), jnp.int32)
+    key0 = jax.random.PRNGKey(7)
+
+    pa, oa, ka = params, opt.init(params), key0
+    losses_a = []
+    for i in range(K):
+        pa, oa, loss, ka = step_gather(pa, oa, data, sels[i], ka)
+        losses_a.append(float(loss))
+
+    pb, ob, losses_b, kb = step_scan(params, opt.init(params), data, sels, key0)
+    np.testing.assert_allclose(np.asarray(losses_b), losses_a, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.slow
@@ -211,7 +247,7 @@ def test_selfsupervised_and_ssabsdiff_steps(rng):
     opt = optax.adam(1e-3)
     batch = tuple(jnp.asarray(b) for b in next(ds.batches(4, seed=0)))
     for mode in ["selfsupervised", "ssabsdiff"]:
-        step, _, _ = make_train_step(model, opt, mode)
+        step, *_ = make_train_step(model, opt, mode)
         p2, _, loss, _ = step(params, opt.init(params), batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(loss)), mode
 

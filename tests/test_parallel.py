@@ -43,7 +43,7 @@ def test_sharded_training_step_matches_single_device(rng):
     x = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
     params = model.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
     opt = optax.adam(1e-3)
-    step, _, _ = make_train_step(model, opt, "supervised")
+    step, *_ = make_train_step(model, opt, "supervised")
 
     batch_np = (rng.randn(B, T, F).astype(np.float32),
                 rng.randn(B, T, 18, 512).astype(np.float32),
