@@ -77,10 +77,21 @@ def generate(audio_file: str | None = None, patch_file: str | None = None, seed:
         latent_palette = G.get_w_latents(latent_seeds)
 
     print("preparing latent and noise sequences...")
-    latents, noise = patch.forward(latent_palette, downscale_factor=downscale_factor,
-                                   aspect_ratio=aspect_ratio)
+    # The synthesizer renders at the nearest power of two >= the output size
+    # (early exit) and bilinearly resizes; the patch's noise modules are
+    # therefore generated on the SYNTH grid (square, pow2 downscale) and
+    # aligned by spatial scale: when rendering 256px from a 1024px patch the
+    # 4..256 layers take the noise banks whose downscaled size matches —
+    # entries offset by 2*log2(d) — so the noise texture keeps the same
+    # spatial frequency relative to the output pixels as the reference's
+    # full-depth downscaled render (ssar/random/sample.py noise semantics).
+    # The user's downscale_factor / aspect_ratio shape only the final resize.
     n_used = G.synthesizer.n_noises_used
-    noise = noise[:n_used]
+    d_synth = max(config.resolution // G.synthesizer.synth_res, 1)
+    latents, noise = patch.forward(latent_palette, downscale_factor=d_synth,
+                                   aspect_ratio=1)
+    offset = 2 * int(round(np.log2(d_synth)))
+    noise = noise[offset : offset + n_used]
 
     print("rendering...")
     T = latents.shape[0]

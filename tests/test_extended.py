@@ -567,6 +567,32 @@ def test_random_patch_pipeline_end_to_end(rng, tmp_path):
 
 
 @pytest.mark.slow
+def test_random_patch_downscaled_render(rng, tmp_path):
+    """The CLI's DEFAULT path renders below the model's native resolution
+    (downscale_factor=4): the early-exit synthesizer takes the noise
+    modules aligned by spatial scale (offset 2*log2(d) into the pyramid) —
+    a straight noise[:n_used] slice feeds 2px noise to the 8px layer."""
+    import cv2
+
+    from ssar_tpu.gan.stylegan2 import StyleGAN2Config
+    from ssar_tpu.generate.sample import generate
+
+    fps, secs = 8, 2
+    sr = int(1024 * fps)
+    t = np.arange(sr * secs) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t)
+             + 0.05 * rng.randn(len(t))).astype(np.float32)
+    audio[:: sr // 2] += 0.8
+    out = generate(seed=42, fps=fps, downscale_factor=4, batch_size=4,
+                   out_dir=str(tmp_path), config=StyleGAN2Config(resolution=64),
+                   audio=audio, sr=sr)
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == secs * fps
+    ok, frame = cap.read()
+    assert ok and frame.shape == (16, 16, 3)
+
+
+@pytest.mark.slow
 def test_patch_with_lazy_noise_modules_renders(rng, tmp_path):
     """get_noise may return a lazy Noise module (generate/noise.py algebra);
     the render pipeline materialises only per-chunk windows
