@@ -33,7 +33,12 @@ def load_rosinality_pt(path: str, config: StyleGAN2Config) -> dict:
     sd = ckpt.get("g_ema", ckpt.get("g", ckpt)) if isinstance(ckpt, dict) else ckpt
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
+    return convert_rosinality_sd(sd, config)
 
+
+def convert_rosinality_sd(sd: dict, config: StyleGAN2Config) -> dict:
+    """rosinality Generator state_dict -> native params tree (also the
+    decoder subtree of pSp checkpoints, gan/psp.py)."""
     import jax.numpy as jnp
 
     def conv_w(key):  # (1, out, in, kh, kw) -> (kh, kw, in, out)

@@ -125,7 +125,11 @@ def train_psagan(dataset, n_steps: int = 100, lr: float = 2e-4, batch_size: int 
 def train_stylevideogan(wplus_sequences: np.ndarray, n_steps: int = 100, lr: float = 2e-4,
                         batch_size: int = 4, latent_dim: int = 32, seed: int = 0):
     """Latent-trajectory GAN over pre-extracted W+ sequences
-    (train_stylevideogan.py): non-saturating logistic losses."""
+    (train_stylevideogan.py): non-saturating logistic losses.
+
+    The reference extracts the sequences by inverting video frames with a
+    pretrained pSp encoder (train_stylevideogan.py:15,43); the native
+    front-end is ``gan.psp.invert_frames`` on a converted checkpoint."""
     from ..models.selfsupervised import StyleVideoDiscriminator, StyleVideoGenerator
 
     N, L, n_styles, _ = wplus_sequences.shape
