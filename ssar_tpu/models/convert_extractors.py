@@ -14,8 +14,10 @@ Supported layouts:
 - ``vggish``: the torchvggish/AudioSet state_dict (features.{0,3,6,8,11,13}
   Conv2d + embeddings.{0,2,4} Linear) -> models.extractors.VGGish.
 - ``slowfast``: a state_dict shape-matching models.extractors.SlowFastVideo
-  (its simplified two-pathway family; the full pytorchvideo R50 must first
-  be distilled/pruned to this family offline).
+  (a lightweight two-pathway family for random-feature use).
+- ``slowfast_r50``: the REAL facebook-slowfast SLOWFAST_8x8_R50 layout
+  (s1.pathway{p}_stem / s{k}_fuse / s{k}.pathway{p}_res{j}) ->
+  models.slowfast_r50, the faithful LayerSlowFast extractor.
 - ``resnet50``: a torchvision-layout ResNet-50 trunk (conv1/bn1/layer{1..4})
   — SwAV checkpoints included (module./backbone. prefixes stripped) ->
   models.resnet.resnet50_features, the OOD FID/KID/PRDC extractor.
@@ -132,6 +134,56 @@ def convert_resnet50(state_dict: dict) -> dict:
     return params
 
 
+def convert_slowfast_r50(state_dict: dict) -> dict:
+    """facebook-slowfast SLOWFAST_8x8_R50 state_dict (s1.pathway{p}_stem /
+    s{k}_fuse / s{k}.pathway{p}_res{j}.branch{1,2} / head.projection) ->
+    models.slowfast_r50 tree.  The classification head is dropped — the
+    extractor surface is the per-layer features."""
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("module.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = np.asarray(v)
+
+    def bn(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"],
+                "mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+
+    # depths derived from the keys so non-R50 trunks convert too
+    depths = []
+    for stage in range(4):
+        j = 0
+        while f"s{stage + 2}.pathway0_res{j}.branch2.a.weight" in sd:
+            j += 1
+        depths.append(j)
+
+    tree: dict = {"stem": {str(p): {"conv": _conv3d(sd[f"s1.pathway{p}_stem.conv.weight"]),
+                                    "bn": bn(f"s1.pathway{p}_stem.bn")}
+                           for p in range(2)}}
+    tree["fuse"] = {str(k - 1): {"conv": _conv3d(sd[f"s{k}_fuse.conv_f2s.weight"]),
+                                 "bn": bn(f"s{k}_fuse.bn")}
+                    for k in range(1, 5)}
+    stages: dict = {}
+    for stage, depth in enumerate(depths):
+        per_path: dict = {}
+        for p in range(2):
+            blocks: dict = {}
+            for j in range(depth):
+                pre = f"s{stage + 2}.pathway{p}_res{j}"
+                b = {part: {"conv": _conv3d(sd[f"{pre}.branch2.{part}.weight"]),
+                            "bn": bn(f"{pre}.branch2.{part}_bn")}
+                     for part in ("a", "b", "c")}
+                if f"{pre}.branch1.weight" in sd:
+                    b["branch1"] = {"conv": _conv3d(sd[f"{pre}.branch1.weight"]),
+                                    "bn": bn(f"{pre}.branch1_bn")}
+                blocks[str(j)] = b
+            per_path[str(p)] = blocks
+        stages[str(stage)] = per_path
+    tree["stages"] = stages
+    return tree
+
+
 def flatten_tree(tree: dict, prefix: str = "") -> dict:
     out = {}
     for k, v in tree.items():
@@ -169,7 +221,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("ckpt", help="torch checkpoint (.pt/.pth state_dict)")
     p.add_argument("out", help="output .npz")
-    p.add_argument("--arch", choices=["vggish", "slowfast", "resnet50"], default="vggish")
+    p.add_argument("--arch", choices=["vggish", "slowfast", "slowfast_r50", "resnet50"],
+                   default="vggish")
     args = p.parse_args(argv)
 
     import torch
@@ -182,7 +235,7 @@ def main(argv=None):
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
 
     tree = {"vggish": convert_vggish, "slowfast": convert_slowfast,
-            "resnet50": convert_resnet50}[args.arch](sd)
+            "slowfast_r50": convert_slowfast_r50, "resnet50": convert_resnet50}[args.arch](sd)
     save_converted(tree, args.out)
     n = sum(v.size for v in flatten_tree(tree).values())
     print(f"wrote {args.out}: {n:,} parameters ({args.arch})")

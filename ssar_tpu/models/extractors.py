@@ -75,9 +75,13 @@ class VggishExtractor:
 
 
 class SlowFastVideo(nn.Module):
-    """Two-pathway 3-D conv video net (slowfast.py's architecture family):
-    a slow pathway over strided frames and a fast low-channel pathway over
-    all frames, laterally fused.  (B, T, H, W, 3) -> (B, D)."""
+    """Lightweight two-pathway 3-D conv video net (slowfast.py's
+    architecture family): a slow pathway over strided frames and a fast
+    low-channel pathway over all frames, laterally fused.
+    (B, T, H, W, 3) -> (B, D).
+
+    For the FAITHFUL SLOWFAST_8x8_R50 (pretrained-checkpoint compatible,
+    per-layer LayerSlowFast features) use models.slowfast_r50."""
 
     features: int = 32
     alpha: int = 4
