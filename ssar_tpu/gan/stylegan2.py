@@ -180,7 +180,12 @@ def _modulated_conv(p: dict, x: jax.Array, w: jax.Array, *, up: bool = False,
             w2 = jnp.sum(w2, axis=(0, 1))  # (cin, cout)
         demod = jax.lax.rsqrt(jnp.matmul(style.astype(jnp.float32) ** 2, w2, precision=HIGHEST) + 1e-8)
 
-    xs = (x * style[:, None, None, :]).astype(dtype)
+    # cast style DOWN to the compute dtype before the multiply: x is bf16
+    # coming off the previous level, and bf16 * f32 promotes — XLA then
+    # materialises the full-res activation in f32 (2x the HBM traffic of the
+    # level) before converting back.  Style rounding to bf16 is imperceptible
+    # (demod still accumulates in f32).
+    xs = x.astype(dtype) * style[:, None, None, :].astype(dtype)
 
     if up:
         # transposed conv stride 2 (torch semantics) + blur, as in the reference;
@@ -293,7 +298,9 @@ def _final_level_s2d(pu: dict, pc: dict, pr: dict, x: jax.Array, wu, wc, wr,
 
     # up conv (modulated)
     style, demod, kernel = _style_demod(pu, wu, prep=pre_u)
-    xs = (x * style[:, None, None, :]).astype(dtype)
+    # style cast down BEFORE the multiply — see the note in _modulated_conv
+    # (bf16 * f32 promotes and materialises a full-res f32 temp)
+    xs = x.astype(dtype) * style[:, None, None, :].astype(dtype)
     h = upconv_blur_s2d(xs, None if kernel is None else kernel.astype(dtype), blur,
                         keff=None if pre_u is None else pre_u["keff"])
     h = mul_c4(h, demod)
