@@ -14,7 +14,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_render(resolution=1024, batch_size=64, iters=16):
+def bench_render(resolution=1024, batch_size=None, iters=16):
+    if batch_size is None:
+        # HBM headroom at 1024px/B=64 depends on the runtime build (a 2026-08
+        # libtpu/compile-helper update pushed the B=64 program from fitting to
+        # 18.4G > 15.75G hbm); walk down the ladder instead of failing the
+        # driver's metric capture.
+        last = None
+        for bs in (64, 48, 32, 16):
+            try:
+                return bench_render(resolution, bs, iters)
+            except Exception as e:  # noqa: BLE001 - OOM surfaces as JaxRuntimeError
+                last = e
+                if "memory" not in str(e).lower() and "hbm" not in str(e).lower():
+                    raise
+                print(f"batch {bs} OOM, stepping down", file=sys.stderr)
+        raise last
     # batch sweep on v5e (2026-08-16): B=32 -> 202-209 fps, B=64 -> 217 fps,
     # B=128 fails to compile (HBM); 64 is the knee.  Noise pyramids are
     # bf16: halves their HBM reads, 220 -> 240 fps measured (noise is

@@ -303,3 +303,42 @@ def test_metric_sensitivity_study(rng, tmp_path):
     # dtw: identical sequences -> 0; different -> positive
     assert dtw_distance(ons, ons) == 0.0
     assert dtw_distance(ons, ons[::-1]) > 0.0
+
+
+def test_plot_surfaces(rng, tmp_path):
+    """Reporting plots: grouped bars, feature-group autocorrelation sums,
+    aggregated grids, training-curve panels (ssar/plot.py:43-79,215-283,
+    368-394,414-421)."""
+    from ssar_tpu.utils import plot as P
+
+    # feature_group_autocorrelation_sum == sum of per-section Grams
+    x = rng.rand(20, 59)
+    acs = P.feature_group_autocorrelation_sum(x)
+    manual = np.zeros((20, 20))
+    for lo, hi in [(0, 20), (20, 32), (32, 38), (38, 45), (45, 59)]:
+        manual += x[:, lo:hi] @ x[:, lo:hi].T
+    assert np.allclose(acs, manual)
+    # short feature axis stops at the array edge instead of erroring
+    small = P.feature_group_autocorrelation_sum(x[:, :25])
+    assert np.allclose(small, x[:, :20] @ x[:, :20].T + x[:, 20:25] @ x[:, 20:25].T)
+
+    plt = P._plt()
+    fig, ax = plt.subplots()
+    handles = P.grouped_bar_plot(ax, {"a": [1, 2, 3], "b": [3, 2, 1]},
+                                 xlabels=["x", "y", "z"])
+    assert len(handles) == 2 and len(ax.patches) == 6
+    plt.close(fig)
+
+    facs, iacs = P.aggregated_autocorrelations(
+        [rng.rand(16, 59) for _ in range(3)], str(tmp_path / "agg.png"))
+    assert facs.shape == (3, 16, 16) and iacs.shape == (3, 16, 16)
+    assert (tmp_path / "agg_full.png").stat().st_size > 0
+    assert (tmp_path / "agg_grouped.png").stat().st_size > 0
+
+    recs = [{"config": c, "iterations": it,
+             "train_latent_rv2": rng.rand(), "train_latent_rv2_std": 0.1,
+             "val_latent_rv2": rng.rand()}
+            for c in ("gru,fixed", "sashimi,learned") for it in (100, 200)]
+    out = P.training_curves_plot(recs, str(tmp_path / "curves.png"),
+                                 outputs=("latent",), splits=("train", "val"))
+    assert (tmp_path / "curves.png").stat().st_size > 0
