@@ -14,22 +14,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# v5e HBM is 16 GiB with ~15.75e9 usable; leave headroom for the runtime's
+# own buffers so the probe's verdict holds across libtpu builds (the 2026-08
+# build shrank usable HBM enough to flip B=64 from fitting to OOM)
+HBM_BUDGET_BYTES = 15.0e9
+
+
+def _program_bytes(mem) -> int:
+    """Total HBM a compiled program needs: resident arguments + outputs +
+    transient temp + code (CompiledMemoryStats)."""
+    return int(mem.argument_size_in_bytes + mem.output_size_in_bytes
+               + mem.temp_size_in_bytes + mem.generated_code_size_in_bytes
+               - mem.alias_size_in_bytes)
+
+
 def bench_render(resolution=1024, batch_size=None, iters=16):
-    if batch_size is None:
-        # HBM headroom at 1024px/B=64 depends on the runtime build (a 2026-08
-        # libtpu/compile-helper update pushed the B=64 program from fitting to
-        # 18.4G > 15.75G hbm); walk down the ladder instead of failing the
-        # driver's metric capture.
-        last = None
-        for bs in (64, 48, 32, 16):
-            try:
-                return bench_render(resolution, bs, iters)
-            except Exception as e:  # noqa: BLE001 - OOM surfaces as JaxRuntimeError
-                last = e
-                if "memory" not in str(e).lower() and "hbm" not in str(e).lower():
-                    raise
-                print(f"batch {bs} OOM, stepping down", file=sys.stderr)
-        raise last
     # batch sweep on v5e (2026-08-16): B=32 -> 202-209 fps, B=64 -> 217 fps,
     # B=128 fails to compile (HBM); 64 is the knee.  Noise pyramids are
     # bf16: halves their HBM reads, 220 -> 240 fps measured (noise is
@@ -48,28 +47,92 @@ def bench_render(resolution=1024, batch_size=None, iters=16):
     cfg = sg.StyleGAN2Config(resolution=resolution)
     params = sg.init_generator(jax.random.PRNGKey(0), cfg)
     prep = jax.jit(lambda p: sg.prepare_synthesis(p, cfg, jnp.bfloat16))(params)
-    latents = jax.random.normal(jax.random.PRNGKey(1), (batch_size, cfg.n_latent, 512))
-    noises = [jax.random.normal(jax.random.PRNGKey(i), (batch_size, h, w, 1), jnp.bfloat16)
-              for i, (h, w) in enumerate(cfg.noise_shapes())]
 
-    @jax.jit
-    def step(p, pre, l, n):
+    def step_fn(p, pre, l, n):
         frames = (sg.synthesis(p, l, n, cfg, dtype=jnp.bfloat16, prep=pre) + 1.0) / 2.0
         u8 = (jnp.clip(frames, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
         return u8[0, 0, 0, 0]
 
-    np.asarray(step(params, prep, latents, noises))  # warm (block_until_ready
-    # does not sync on the tunneled runtime; fetching a value does)
+    def build_inputs(bs):
+        latents = jax.random.normal(jax.random.PRNGKey(1), (bs, cfg.n_latent, 512))
+        noises = [jax.random.normal(jax.random.PRNGKey(i), (bs, h, w, 1), jnp.bfloat16)
+                  for i, (h, w) in enumerate(cfg.noise_shapes())]
+        return latents, noises
+
+    # pick the batch by COMPILE-TIME memory probe (lower().compile()
+    # .memory_analysis()), not by catching runtime OOMs.  On this runtime an
+    # over-HBM program fails DURING compile with an opaque HTTP 500 (the OOM
+    # detail only reaches the terminal log), and a cold 1024px compile costs
+    # many minutes — so never compile a doomed candidate: compile a
+    # known-safe base batch, then step UP only if a linear HBM model
+    # (fixed code/weights + per-frame activations) predicts the larger
+    # program fits the budget.
+    def compile_at(bs):
+        io = build_inputs(bs)
+        exe = jax.jit(step_fn).lower(params, prep, *io).compile()
+        return exe, exe.memory_analysis(), io
+
+    def input_bytes(bs):
+        return int(bs * (cfg.n_latent * 512 * 4
+                         + sum(2 * h * w for h, w in cfg.noise_shapes())))
+
+    if batch_size is not None:
+        compiled, mem, (latents, noises) = compile_at(batch_size)
+        print(f"batch {batch_size}: program {_program_bytes(mem)/1e9:.2f} GB "
+              f"(temp {mem.temp_size_in_bytes/1e9:.2f} GB)", file=sys.stderr)
+    else:
+        batch_size = 48  # fits every libtpu build observed (r1-r3)
+        compiled, mem, (latents, noises) = compile_at(batch_size)
+        base_need = _program_bytes(mem)
+        print(f"batch {batch_size}: program {base_need/1e9:.2f} GB "
+              f"(temp {mem.temp_size_in_bytes/1e9:.2f} GB)", file=sys.stderr)
+        for bs in (64,):
+            need = (base_need - input_bytes(batch_size) - mem.temp_size_in_bytes
+                    + input_bytes(bs) + mem.temp_size_in_bytes * bs / batch_size)
+            if need > HBM_BUDGET_BYTES:
+                print(f"batch {bs}: predicted {need/1e9:.2f} GB > "
+                      f"{HBM_BUDGET_BYTES/1e9:.2f} GB budget, staying at {batch_size}",
+                      file=sys.stderr)
+                continue
+            try:
+                exe2, mem2, io2 = compile_at(bs)
+            except Exception as e:  # noqa: BLE001 - compile-time OOM is opaque here
+                print(f"batch {bs}: compile failed ({str(e)[:120]}), staying at {batch_size}",
+                      file=sys.stderr)
+                continue
+            compiled, mem, (latents, noises), batch_size = exe2, mem2, io2, bs
+            print(f"batch {bs}: program {_program_bytes(mem)/1e9:.2f} GB, using it",
+                  file=sys.stderr)
+
+    step = lambda: compiled(params, prep, latents, noises)  # noqa: E731
+
+    np.asarray(step())  # warm (block_until_ready does not sync on the
+    # tunneled runtime; fetching a value does)
 
     t0 = time.time()
-    pending = step(params, prep, latents, noises)
+    pending = step()
     for _ in range(iters - 1):
-        nxt = step(params, prep, latents, noises)
+        nxt = step()
         np.asarray(pending)  # blocks on the previous batch only
         pending = nxt
     np.asarray(pending)
     dt = (time.time() - t0) / iters
-    return batch_size / dt
+    fps = batch_size / dt
+
+    # roofline statement: measured fps -> TFLOP/s -> fraction of v5e bf16
+    # peak (197 TFLOP/s), with XLA's own flop count for the program
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            tflops = flops / dt / 1e12
+            print(f"roofline: {flops/batch_size/1e9:.1f} GFLOP/frame x {fps:.0f} fps = "
+                  f"{tflops:.1f} TFLOP/s = {100*tflops/197:.0f}% of v5e bf16 peak",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+    return fps
 
 
 def bench_features(seconds=40, fps=24, iters=10):

@@ -95,10 +95,17 @@ def prdc(feats_real: np.ndarray, feats_fake: np.ndarray, k: int = 5) -> dict:
 
 
 def compute(real_images, fake_images, extractor=None,
-            metrics=("frechet", "kernel", "prdc")) -> dict:
+            metrics=("frechet", "kernel", "prdc"),
+            allow_random_extractor: bool = False) -> dict:
     """maua.GAN.metrics.compute-equivalent surface (ssar/ood.py:16,103-113).
 
     Images: (N, H, W, 3) float [0, 1] (NHWC) or (N, 3, H, W).
+
+    Without an ``extractor`` the fallback is the deterministic
+    random-projection extractor — its numbers are only comparable to other
+    runs of the SAME extractor, never to published FID/KID.  That silent
+    degradation cost the reference-grade study comparability, so it now
+    warns loudly unless ``allow_random_extractor=True``.
     """
     def to_nhwc(x):
         x = np.asarray(x)
@@ -106,7 +113,18 @@ def compute(real_images, fake_images, extractor=None,
             x = x.transpose(0, 2, 3, 1)
         return jnp.asarray(x, jnp.float32)
 
-    extractor = extractor or default_extractor()
+    if extractor is None:
+        import warnings
+
+        msg = ("ood.compute called without an extractor: falling back to the "
+               "random-projection features. The resulting 'FID'/'KID' are NOT "
+               "comparable to SwAV/Inception numbers — pass "
+               "models.resnet.swav_extractor(converted_weights) for "
+               "reference-grade results, or allow_random_extractor=True to "
+               "silence this.")
+        if not allow_random_extractor:
+            warnings.warn(msg, UserWarning, stacklevel=2)
+        extractor = default_extractor()
     fr = np.asarray(extractor(to_nhwc(real_images)))
     ff = np.asarray(extractor(to_nhwc(fake_images)))
 

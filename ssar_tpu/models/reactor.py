@@ -130,6 +130,41 @@ class NoiseHead(nn.Module):
         return noise
 
 
+class ConvNoiseUpsampler(nn.Module):
+    """v1 Reactor 3-D-conv noise pyramid (ssar/models/latent_n_noise.py:80-108,
+    113-119): GLU-expand the per-frame hidden state into a 2x2 spatial seed,
+    then four [trilinear (1,2,2) upsample -> Conv3d -> GELU] stages, each
+    tapped by a Conv3d(dim, 1) outsampler -> noise maps at 4x4..32x32.
+
+    TPU-first layout: NDHWC (time as depth) so the 3-D convs lower to MXU
+    convolutions; ``jax.image.resize`` half-pixel linear interpolation matches
+    torch trilinear align_corners=False.  Fully deterministic (no "noise"
+    rng) — the v1 design generates noise from content, unlike the v2 head's
+    mu/sigma-scaled smoothed randn.
+    """
+
+    features: int  # = the reactor hidden dim
+    n_outputs: int = 4
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, T, C = x.shape
+        D = self.features
+        # GLU(dim, dim*4) -> Reshape(2, 2) (latent_n_noise.py:80)
+        h = nn.Dense(D * 4 * 2)(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        h = h.reshape(B, T, 2, 2, D)
+        h = nn.gelu(nn.Conv(D, (3, 3, 3), padding="SAME")(h))
+        noise = []
+        for i in range(self.n_outputs):
+            size = 2 ** (i + 2)
+            h = jax.image.resize(h, (B, T, size, size, D), method="linear")
+            h = nn.gelu(nn.Conv(D, (3, 3, 3), padding="SAME")(h))
+            noise.append(nn.Conv(1, (3, 3, 3), padding="SAME")(h)[..., 0])
+        return noise
+
+
 class LayerwiseLinear(nn.Module):
     """Per-W+-layer-group output heads (ssar/models/audio2latent.py:71-103):
     n_outputs W+ rows produced by n_layerwise independent two-layer MLPs."""
@@ -153,18 +188,26 @@ class LayerwiseLinear(nn.Module):
 
 
 class LearnedLatentNoiseDecoder(nn.Module):
-    """(latent_n_noise2.py:115-131)."""
+    """(latent_n_noise2.py:115-131).
+
+    ``noise_mode="conv3d"`` swaps the v2 mu/sigma NoiseHead for the v1
+    Reactor's content-generated 3-D-conv pyramid (latent_n_noise.py:80-108).
+    """
 
     n_ws: int = 18
     n_latent_split: int = 3
     n_noise: int = 4
     dropout: float = 0.0
+    noise_mode: str = "musigma"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.Dropout(self.dropout)(nn.gelu(x), deterministic=deterministic)
         latents = LayerwiseLinear(512, self.n_ws, self.n_latent_split, self.dropout)(h, deterministic)
-        noise = NoiseHead(self.n_noise, self.dropout)(h, deterministic)
+        if self.noise_mode == "conv3d":
+            noise = ConvNoiseUpsampler(x.shape[-1], self.n_noise)(h, deterministic)
+        else:
+            noise = NoiseHead(self.n_noise, self.dropout)(h, deterministic)
         return latents, noise
 
 
@@ -187,6 +230,7 @@ class LatentNoiseReactor(nn.Module):
     n_noise: int = 4
     dropout: float = 0.0
     n_ws: int = 18
+    noise_mode: str = "musigma"  # "conv3d" = v1 pyramid (learned decoder only)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_envelopes: bool = False):
@@ -210,7 +254,8 @@ class LatentNoiseReactor(nn.Module):
             )(envelopes)
         else:
             latents, noise = LearnedLatentNoiseDecoder(
-                self.n_ws, self.n_latent_split, self.n_noise, self.dropout
+                self.n_ws, self.n_latent_split, self.n_noise, self.dropout,
+                noise_mode=self.noise_mode,
             )(envelopes, deterministic)
 
         if self.residual:

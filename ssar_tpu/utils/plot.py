@@ -113,11 +113,15 @@ FEATURE_GROUP_SECTIONS = (20, 12, 6, 7, None)
 
 
 def feature_group_autocorrelation_sum(features: np.ndarray,
-                                      sections=FEATURE_GROUP_SECTIONS) -> np.ndarray:
+                                      sections=FEATURE_GROUP_SECTIONS,
+                                      normalize: bool = False) -> np.ndarray:
     """Sum of per-feature-group time-autocorrelation Grams (T, T)
     (ssar/plot.py:414-421): each contiguous section of the feature axis
     contributes its own ``X Xᵀ`` so large groups don't drown the envelopes.
-    ``None`` as the last section means "everything remaining"."""
+    ``None`` as the last section means "everything remaining".  With
+    ``normalize``, each section is scaled into [0, 1] by its own GROUP-wide
+    min/max before the Gram (ssar/plot.py:383-385) — per-column scaling would
+    weight channels within a group differently than the reference."""
     x = np.asarray(features, np.float64)
     T = len(x)
     acs = np.zeros((T, T))
@@ -125,7 +129,11 @@ def feature_group_autocorrelation_sum(features: np.ndarray,
     for section in sections:
         j = x.shape[1] if section is None else min(i + section, x.shape[1])
         if j > i:
-            acs += x[:, i:j] @ x[:, i:j].T
+            block = x[:, i:j]
+            if normalize:
+                block = block - block.min()
+                block = block / (block.max() + 1e-8)
+            acs += block @ block.T
         i = j
         if i >= x.shape[1]:
             break
@@ -146,9 +154,7 @@ def aggregated_autocorrelations(feature_mats: list[np.ndarray], out_file: str,
         fac = fac - fac.min()
         fac = fac / (fac.max() + 1e-8)
         facs.append(fac)
-        xn = x - x.min(0)
-        xn = xn / (xn.max(0) + 1e-8)
-        iac = feature_group_autocorrelation_sum(xn, sections)
+        iac = feature_group_autocorrelation_sum(x, sections, normalize=True)
         iac = iac - iac.min()
         iac = iac / (iac.max() + 1e-8)
         iacs.append(iac)
@@ -186,11 +192,13 @@ def training_curves_plot(records: list[dict], out_file: str,
     for i, output in enumerate(outputs):
         for j, split in enumerate(splits):
             key = f"{split}_{output}_{metric}"
+            plotted = False
             for k, config in enumerate(configs):
                 rows = sorted((r for r in records if r["config"] == config and key in r),
                               key=lambda r: r["iterations"])
                 if not rows:
                     continue
+                plotted = True
                 x = np.array([r["iterations"] for r in rows])
                 y = np.array([r[key] for r in rows])
                 ax[i, j].plot(x, y, color=colors[k % len(colors)], label=config)
@@ -199,7 +207,8 @@ def training_curves_plot(records: list[dict], out_file: str,
                     ax[i, j].fill_between(x, y - err, y + err, alpha=0.25,
                                           color=colors[k % len(colors)])
             ax[i, j].set_title(f"{split} {output}")
-            ax[i, j].legend()
+            if plotted:  # empty panels would warn 'no artists with labels'
+                ax[i, j].legend()
             ax[-1, j].set_xlabel("iterations")
         ax[i, 0].set_ylabel(f"{metric} loss")
     fig.tight_layout()

@@ -84,11 +84,27 @@ def test_ood_metrics_discriminate(rng):
     a = rng.rand(48, 16, 16, 3).astype(np.float32)
     b = rng.rand(48, 16, 16, 3).astype(np.float32)
     c = np.clip(b + 0.4, 0, 1)
-    same = compute(a, b)
-    diff = compute(a, c)
+    same = compute(a, b, allow_random_extractor=True)
+    diff = compute(a, c, allow_random_extractor=True)
     assert diff["frechet"] > same["frechet"]
     assert diff["kernel"] > same["kernel"]
     assert same["coverage"] > diff["coverage"]
+
+
+def test_ood_warns_on_random_extractor(rng):
+    """Random-feature 'FID' numbers are never silently comparable
+    (VERDICT r2 weak #4): no extractor -> loud warning unless opted in."""
+    import warnings
+
+    from ssar_tpu.metrics.ood import compute
+
+    a = rng.rand(8, 16, 16, 3).astype(np.float32)
+    b = rng.rand(8, 16, 16, 3).astype(np.float32)
+    with pytest.warns(UserWarning, match="random-projection"):
+        compute(a, b, metrics=("frechet",))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        compute(a, b, metrics=("frechet",), allow_random_extractor=True)
 
 
 @pytest.mark.slow

@@ -45,6 +45,31 @@ def test_reactor_learned_decoder_and_envelopes(rng):
     assert env.shape == (B, T, 16)
 
 
+def test_reactor_conv3d_noise_pyramid(rng):
+    """v1 Reactor noise mode (latent_n_noise.py:80-108): 3-D-conv upsampler
+    pyramid produces the 4-level pyramid deterministically from content —
+    same input, same noise; gradients flow into the Conv3d stack."""
+    x = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+    model = LatentNoiseReactor(jnp.zeros(F), jnp.ones(F), None, decoder="learned",
+                               backbone="transformer", hidden_size=16, num_layers=1,
+                               noise_mode="conv3d", residual=False)
+    params = model.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
+    lat, noise = model.apply(params, x, rngs={"noise": jax.random.PRNGKey(2)})
+    assert lat.shape == (B, T, 18, 512)
+    assert [n.shape[-2:] for n in noise] == [(4, 4), (8, 8), (16, 16), (32, 32)]
+    # deterministic: no "noise" rng collection involved
+    lat2, noise2 = model.apply(params, x, rngs={"noise": jax.random.PRNGKey(99)})
+    np.testing.assert_array_equal(np.asarray(noise[2]), np.asarray(noise2[2]))
+
+    def loss(p):
+        _, n = model.apply(p, x, rngs={"noise": jax.random.PRNGKey(2)})
+        return sum(jnp.mean(jnp.abs(ni)) for ni in n)
+
+    grads = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_residual_zero_mean(rng, palette):
     x = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
     model = LatentNoiseReactor(jnp.zeros(F), jnp.ones(F), palette, residual=True,
