@@ -275,11 +275,62 @@ def test_av_feature_study(tmp_path, rng):
     audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
     audio[:: sr // 2] += 1.0
     video = rng.rand(48, 3, 32, 32).astype(np.float32)
-    recs = av_feature_study([("c", audio, sr, video)], out_dir=str(tmp_path))
-    assert len(recs) == 9 * 12 * 3
+    recs = av_feature_study([("c", audio, sr, video)], measures=("rv2", "procrustes"),
+                            out_dir=str(tmp_path), cache_dir=str(tmp_path))
+    # 9x12 quadratic + 1 concat row per measure
+    assert len(recs) == (9 * 12 + 1) * 2
     assert np.isfinite([r["value"] for r in recs]).all()
     assert (tmp_path / "av_study.csv").exists()
     assert (tmp_path / "av_study_rv2.png").stat().st_size > 0
+    assert (tmp_path / "barplot_concat_corr.png").stat().st_size > 0
+    assert (tmp_path / "group_corr_hists_quadratic.png").stat().st_size > 0
+    assert (tmp_path / "extrema.txt").read_text().startswith("# all")
+    # feature npz cache round-trips: second call must reuse it
+    assert (tmp_path / "c_afeats.npz").exists()
+    recs2 = av_feature_study([("c", audio, sr, video)], measures=("rv2",),
+                             cache_dir=str(tmp_path))
+    r1 = {(r["audio_feature"], r["video_feature"]): r["value"]
+          for r in recs if r["measure"] == "rv2"}
+    for r in recs2:
+        assert abs(r1[(r["audio_feature"], r["video_feature"])] - r["value"]) < 1e-5
+
+
+@pytest.mark.slow
+def test_feature_visualizations(tmp_path, rng):
+    from ssar_tpu.metrics.study import feature_visualizations
+
+    sr = 1024 * 24
+    audio = (0.2 * rng.randn(2 * sr)).astype(np.float32)
+    video = rng.rand(48, 3, 32, 32).astype(np.float32)
+    names = feature_visualizations(audio, sr, video, str(tmp_path))
+    assert "chromagram.png" in names and "absdiff.png" in names
+    assert len(names) == 9 + 12
+
+
+def test_audiovisual_correlation_modes(rng):
+    from ssar_tpu.metrics.correlation import rv2
+    from ssar_tpu.metrics.study import audiovisual_correlation, extrema, group_stats
+
+    afeats = {"a1": jnp.asarray(rng.randn(32, 4).astype(np.float32)),
+              "a2": jnp.asarray(rng.randn(32, 2).astype(np.float32))}
+    vfeats = {"v1": jnp.asarray(rng.randn(32, 3).astype(np.float32))}
+    quad = audiovisual_correlation(afeats, vfeats, "rv2", rv2, quadratic=True)
+    assert set(quad) == {("a1", "v1", "rv2"), ("a2", "v1", "rv2")}
+    flat = audiovisual_correlation(afeats, vfeats, "rv2", rv2)
+    assert np.isfinite(flat)
+    # normalizers scale, never NaN
+    qn = audiovisual_correlation(afeats, vfeats, "rv2", rv2, quadratic=True,
+                                 variation_normalized=True, mean_diff_normalized=True)
+    assert np.isfinite(list(qn.values())).all()
+
+    recs = [{"group": g, "clip": f"{g}{i}", "measure": "procrustes",
+             "audio_feature": "concat", "video_feature": "concat", "value": float(i) + (g == "x")}
+            for g in ("x", "y") for i in range(6)]
+    ex = extrema(recs, n=2)
+    assert ex["x"]["best"][0][0] == 6.0 and ex["y"]["worst"][0][0] == 0.0
+    st = group_stats(recs)
+    med = {s["group"]: s["median"] for s in st}
+    assert med["x"] == 3.5 and med["y"] == 2.5
 
 
 @pytest.mark.slow
