@@ -18,16 +18,18 @@ from ssar_tpu.gan.psp import (ENCODERS, adaptive_avg_pool, convert_psp,
 STAGES = ((8, 8, 1), (8, 12, 1), (12, 16, 1), (16, 24, 1))
 
 
-def _build_torch_sd(n_styles=8, style_dim=16, input_res=32, wplus=False):
+def _build_torch_sd(n_styles=8, style_dim=16, input_res=32, wplus=False, stages=None):
     import torch
 
+    stages = STAGES if stages is None else stages
+    c0 = stages[0][0]
     g = torch.Generator().manual_seed(7)
 
     def t(*shape, scale=0.2):
         return scale * torch.randn(*shape, generator=g)
 
-    sd = {"encoder.input_layer.0.weight": t(8, 3, 3, 3),
-          "encoder.input_layer.2.weight": 0.25 + 0.05 * torch.randn(8, generator=g)}
+    sd = {"encoder.input_layer.0.weight": t(c0, 3, 3, 3),
+          "encoder.input_layer.2.weight": 0.25 + 0.05 * torch.randn(c0, generator=g)}
 
     def add_bn(prefix, c):
         sd[f"{prefix}.weight"] = 1 + 0.1 * torch.randn(c, generator=g)
@@ -35,8 +37,8 @@ def _build_torch_sd(n_styles=8, style_dim=16, input_res=32, wplus=False):
         sd[f"{prefix}.running_mean"] = 0.1 * torch.randn(c, generator=g)
         sd[f"{prefix}.running_var"] = (1 + 0.1 * torch.randn(c, generator=g)).abs()
 
-    add_bn("encoder.input_layer.1", 8)
-    for i, (in_c, depth, _) in enumerate(stage_units(STAGES)):
+    add_bn("encoder.input_layer.1", c0)
+    for i, (in_c, depth, _) in enumerate(stage_units(stages)):
         pre = f"encoder.body.{i}"
         add_bn(f"{pre}.res_layer.0", in_c)
         sd[f"{pre}.res_layer.1.weight"] = t(depth, in_c, 3, 3)
@@ -50,7 +52,7 @@ def _build_torch_sd(n_styles=8, style_dim=16, input_res=32, wplus=False):
             sd[f"{pre}.shortcut_layer.0.weight"] = t(depth, in_c, 1, 1)
             add_bn(f"{pre}.shortcut_layer.1", depth)
 
-    c3d = STAGES[-1][1]
+    c3d = stages[-1][1]
     if wplus:
         add_bn("encoder.output_layer_2.0", c3d)
         sd["encoder.output_layer_2.3.weight"] = t(style_dim, c3d * 7 * 7)
@@ -68,18 +70,25 @@ def _build_torch_sd(n_styles=8, style_dim=16, input_res=32, wplus=False):
             sd[f"encoder.styles.{j}.convs.{2 * k}.bias"] = t(style_dim)
         sd[f"encoder.styles.{j}.linear.weight"] = t(style_dim, style_dim, scale=1.0)
         sd[f"encoder.styles.{j}.linear.bias"] = t(style_dim)
-    sd["encoder.latlayer1.weight"] = t(c3d, STAGES[2][1], 1, 1)
+    sd["encoder.latlayer1.weight"] = t(c3d, stages[2][1], 1, 1)
     sd["encoder.latlayer1.bias"] = t(c3d)
-    sd["encoder.latlayer2.weight"] = t(c3d, STAGES[1][1], 1, 1)
+    sd["encoder.latlayer2.weight"] = t(c3d, stages[1][1], 1, 1)
     sd["encoder.latlayer2.bias"] = t(c3d)
     return sd
 
 
-def _torch_body(sd, x):
+def _torch_body(sd, x, stages=None):
     """Functional torch forward of the shared IR-SE stem + body; returns
-    the three stage-end taps (c1, c2, c3)."""
+    the three scale taps (c1, c2, c3) = ends of stages 2, 3, 4."""
     import torch
     import torch.nn.functional as TF
+
+    stages = STAGES if stages is None else stages
+    ends = []
+    i = -1
+    for _, _, n in stages:
+        i += n
+        ends.append(i)
 
     def t_bn(h, prefix):
         return TF.batch_norm(h, sd[f"{prefix}.running_mean"], sd[f"{prefix}.running_var"],
@@ -88,7 +97,7 @@ def _torch_body(sd, x):
     h = TF.conv2d(x, sd["encoder.input_layer.0.weight"], padding=1)
     h = TF.prelu(t_bn(h, "encoder.input_layer.1"), sd["encoder.input_layer.2.weight"])
     taps = []
-    for i, (in_c, depth, stride) in enumerate(stage_units(STAGES)):
+    for i, (in_c, depth, stride) in enumerate(stage_units(stages)):
         pre = f"encoder.body.{i}"
         if in_c == depth:
             sc = TF.max_pool2d(h, 1, stride)
@@ -105,18 +114,16 @@ def _torch_body(sd, x):
         s = torch.sigmoid(TF.conv2d(s, sd[f"{pre}.res_layer.5.fc2.weight"]))
         h = r * s + sc
         taps.append(h)
-    return taps[1], taps[2], taps[3]
+    return taps[ends[1]], taps[ends[2]], taps[ends[3]]
 
 
-def test_psp_gradual_encoder_matches_torch_forward():
+def _torch_gradual_forward(sd, x, n_styles, stages=None):
+    """Torch oracle of the full GradualStyleEncoder (body + FPN + map2style
+    heads, pixel2style2pixel.py:57-135)."""
     import torch
     import torch.nn.functional as TF
 
-    n_styles, style_dim = 8, 16
-    sd = _build_torch_sd(n_styles, style_dim)
-    x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
-
-    c1, c2, c3 = _torch_body(sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    c1, c2, c3 = _torch_body(sd, x, stages)
 
     def style_block(j, f):
         k = 0
@@ -137,13 +144,47 @@ def test_psp_gradual_encoder_matches_torch_forward():
     p1 = (TF.interpolate(p2, size=c1.shape[2:], mode="bilinear", align_corners=True)
           + TF.conv2d(c1, sd["encoder.latlayer2.weight"], sd["encoder.latlayer2.bias"]))
     lat += [style_block(j, p1) for j in range(7, n_styles)]
-    ref = torch.stack(lat, dim=1).numpy()
+    return torch.stack(lat, dim=1).numpy()
+
+
+def test_psp_gradual_encoder_matches_torch_forward():
+    import torch
+
+    n_styles, style_dim = 8, 16
+    sd = _build_torch_sd(n_styles, style_dim)
+    x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+
+    ref = _torch_gradual_forward(sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2))), n_styles)
 
     params = convert_psp({k: v.numpy() for k, v in sd.items()}, stages=STAGES)
     ours = np.asarray(gradual_style_encoder(params["encoder"], jnp.asarray(x), STAGES))
 
     assert ours.shape == (2, n_styles, style_dim)
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_psp_ir_se50_full_width_matches_torch_forward():
+    """Full-width converter parity (VERDICT r2 item 6): the real IR-SE-50
+    trunk (64->512 channels, 3/4/14/3 units) with 18 512-dim style heads.
+    Spatial size is reduced to 64px to keep the CPU oracle tractable; every
+    layer runs its real channel widths."""
+    import torch
+
+    from ssar_tpu.gan.psp import IR_STAGES
+
+    stages, n_styles, style_dim = IR_STAGES[50], 18, 512
+    sd = _build_torch_sd(n_styles, style_dim, input_res=64, stages=stages)
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32) * 2 - 1
+
+    ref = _torch_gradual_forward(sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                                 n_styles, stages)
+
+    params = convert_psp({k: v.numpy() for k, v in sd.items()}, stages=stages)
+    ours = np.asarray(gradual_style_encoder(params["encoder"], jnp.asarray(x), stages))
+
+    assert ours.shape == (1, n_styles, style_dim)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=5e-3)
 
 
 def test_psp_wplus_encoder_matches_torch_forward():
