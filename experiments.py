@@ -29,6 +29,21 @@ GRIDS = {
         "lr": [1e-4],
         "batch_size": [32],
     },
+    # the minimum run-of-record subset actually executed on the TPU (VERDICT
+    # r2 item 2): GRU reactor at the reference's flagship width, all three
+    # loss modes, 128k examples over the committed record corpus
+    # (scripts/make_record_dataset.py), fixed + one learned-decoder cell.
+    "record": {
+        "backbone": ["gru"],
+        "decoder": ["fixed"],
+        "loss": ["supervised", "selfsupervised", "ssabsdiff"],
+        "hidden_size": [32],
+        "num_layers": [4],
+        "n_examples": [128_000],
+        "lr": [1e-4],
+        "batch_size": [32],
+        "_extra": {"cache_dir": "data/record/cache", "render_size": 256},
+    },
     "smoke": {
         "backbone": ["gru", "mlp"],
         "decoder": ["learned"],
@@ -45,7 +60,8 @@ GRIDS = {
 def run_grid(name: str, out_dir: str = "runs/experiments"):
     from ssar_tpu.train.train import main as train_main
 
-    grid = GRIDS[name]
+    grid = dict(GRIDS[name])
+    extra = grid.pop("_extra", {})
     keys = list(grid)
     results = []
     out = Path(out_dir)
@@ -56,7 +72,7 @@ def run_grid(name: str, out_dir: str = "runs/experiments"):
         print(f"\n=== {run_id} ===")
         t0 = time.time()
         argv = []
-        for k, v in cfg.items():
+        for k, v in {**cfg, **extra}.items():
             argv += [f"--{k}", str(v)]
         argv += ["--out_dir", str(out / run_id), "--eval_every", str(max(64, cfg["n_examples"] // 10)),
                  "--ckpt_every", str(cfg["n_examples"])]
