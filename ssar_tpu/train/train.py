@@ -209,6 +209,13 @@ def main(argv=None):
     parser.add_argument("--residual", action="store_true")
     parser.add_argument("--n_examples", type=int, default=128_000)
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--grad_clip", type=float, default=1.0,
+                        help="global-norm gradient clip; 0 disables (the reference's "
+                             "bare Adam, ssar/train.py:262). The fixed decoder's "
+                             "env/env.sum normalisation (latent_n_noise2.py:151) has a "
+                             "sum≈0 pole that occasionally fires a huge gradient — bare "
+                             "Adam diverged at step ~64k on the record grid; clip=1.0 "
+                             "trains through it without changing converged losses.")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--eval_every", type=int, default=10_240)
     parser.add_argument("--ckpt_every", type=int, default=10_240)
@@ -276,6 +283,8 @@ def main(argv=None):
     n_params = sum(p.size for p in jax.tree.leaves(params))
 
     optimizer = optax.adam(args.lr)
+    if args.grad_clip > 0:
+        optimizer = optax.chain(optax.clip_by_global_norm(args.grad_clip), optimizer)
     opt_state = optimizer.init(params)
     train_step, train_step_gather, eval_step, train_step_scan = make_train_step(
         model, optimizer, args.loss)
@@ -513,6 +522,16 @@ def main(argv=None):
     flush_pending()  # drain the last logging window
     ckpt_mgr.save(args.n_examples, args=ocp.args.StandardSave(ckpt_state(args.n_examples)))
     ckpt_mgr.wait_until_finished()
+    if args.render_at_ckpt:
+        try:  # the loop's render fires on it % ckpt_every == 0 and the loop
+            # ends before it reaches n_examples, so the FINAL checkpoint
+            # (the one studies evaluate) must render here
+            out = render_checkpoint_sample(
+                model, params, args, str(log_dir / f"sample_{args.n_examples:08d}.mp4"),
+                gan_config=render_gan_config)
+            print(f"final checkpoint render: {out}")
+        except Exception as e:
+            print(f"final checkpoint render skipped: {e}")
     print(f"done: val_loss {val_loss:.4f}, checkpoints in {log_dir}/ckpt")
     return log_dir, val_loss
 
