@@ -59,6 +59,12 @@ def build_models(G, grid_dir: Path):
 
 
 def main():
+    import faulthandler
+
+    # the tunneled device RPC can hang; dump the python stack periodically
+    # so a stall is diagnosable from the log
+    faulthandler.dump_traceback_later(300, repeat=True)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="output/study")
     ap.add_argument("--grid_dir", default="runs/experiments")
