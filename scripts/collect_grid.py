@@ -1,0 +1,150 @@
+"""Collect the record-grid training artifacts into committed docs (VERDICT r2
+item 2): per-cell final losses + wall-clock table, loss-curve figure, final
+diagnostics image and rendered checkpoint sample per loss mode.
+
+Reads the gitignored ``runs/experiments`` tree (written by
+``python experiments.py --grid record``) and emits ``docs/grid/`` +
+``docs/GRID.md``.  Reference runs of record: /root/reference/experiments.sh:1-38.
+
+    python scripts/collect_grid.py [--runs runs/experiments] [--out docs]
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import shutil
+from collections import defaultdict
+from pathlib import Path
+
+TRAIN_C, VAL_C = "#2a78d6", "#eb6834"
+INK, MUTED = "#0b0b0b", "#52514e"
+
+
+def read_curves(metrics_csv: Path) -> dict[str, list[tuple[int, float]]]:
+    series = defaultdict(list)
+    with metrics_csv.open() as f:
+        for step, tag, value in csv.reader(f):
+            series[tag].append((int(step), float(value)))
+    return series
+
+
+def latest_run(cell_dir: Path) -> Path | None:
+    runs = sorted(d for d in cell_dir.iterdir() if (d / "metrics.csv").exists())
+    return runs[-1] if runs else None
+
+
+def loss_curves_figure(cells: dict[str, Path], out_png: Path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, len(cells), figsize=(5 * len(cells), 3.6),
+                             squeeze=False)
+    fig.patch.set_facecolor("#fcfcfb")
+    for ax, (loss, run) in zip(axes[0], sorted(cells.items())):
+        series = read_curves(run / "metrics.csv")
+        train = series.get(f"Loss/{loss}", [])
+        val = series.get("Loss/val", [])
+        # train logs every step: thin to ~400 points so the png stays light
+        stride = max(1, len(train) // 400)
+        if train:
+            xs, ys = zip(*train[::stride])
+            ax.plot(xs, ys, color=TRAIN_C, lw=2, label="train")
+        if val:
+            xs, ys = zip(*sorted(set(val)))
+            ax.plot(xs, ys, color=VAL_C, lw=2, label="val")
+        vals = [y for _, y in train + val if y > 0]
+        if vals and max(vals) / max(min(vals), 1e-12) > 50:
+            ax.set_yscale("log")
+        ax.set_title(f"gru / fixed / {loss}", color=INK, fontsize=11)
+        ax.set_xlabel("examples", color=MUTED)
+        ax.tick_params(colors=MUTED)
+        ax.grid(True, color="#e8e8e4", lw=0.6)
+        for s in ax.spines.values():
+            s.set_color("#e8e8e4")
+        ax.set_facecolor("#fcfcfb")
+        ax.legend(frameon=False, labelcolor=INK)
+    axes[0][0].set_ylabel("loss", color=MUTED)
+    fig.tight_layout()
+    out_png.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_png, dpi=130)
+    plt.close(fig)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", default="runs/experiments")
+    ap.add_argument("--out", default="docs")
+    args = ap.parse_args()
+    runs, out = Path(args.runs), Path(args.out)
+    grid_dir = out / "grid"
+    grid_dir.mkdir(parents=True, exist_ok=True)
+
+    results = json.loads((runs / "record_results.json").read_text())
+    cells = {}
+    for cell in sorted(runs.glob("backbone-*")):
+        run = latest_run(cell)
+        if run is None:
+            continue
+        loss = [p for p in cell.name.split("_") if p.startswith("loss-")][0][5:]
+        cells[loss] = run
+        for pat, dst in [("diagnostics_*.png", f"diagnostics_{loss}.png"),
+                         ("sample_*.mp4", f"sample_{loss}.mp4")]:
+            files = sorted(run.glob(pat))
+            if files:
+                shutil.copy(files[-1], grid_dir / dst)
+
+    shutil.copy(runs / "record_results.csv", grid_dir / "record_results.csv")
+    loss_curves_figure(cells, grid_dir / "loss_curves.png")
+
+    rows = ["| loss mode | hidden | layers | examples | final val loss | wall-clock (s) | run |",
+            "|---|---|---|---|---|---|---|"]
+    for r in results:
+        if "error" in r:
+            rows.append(f"| {r['loss']} | {r['hidden_size']} | {r['num_layers']} | "
+                        f"{r['n_examples']} | ERROR | — | {r.get('error', '')[:60]} |")
+            continue
+        rows.append(f"| {r['loss']} | {r['hidden_size']} | {r['num_layers']} | "
+                    f"{r['n_examples']} | {r['val_loss']:.4g} | {r['seconds']:.0f} | "
+                    f"`{Path(r['log_dir']).name}` |")
+
+    md = f"""# Training runs of record (record grid)
+
+The reference's configs of record live in `/root/reference/experiments.sh:1-38`
+(GRU reactor, three loss modes, 128k examples).  `python experiments.py --grid
+record` executes that subset on the TPU over the committed record corpus
+(`scripts/make_record_dataset.py`, 126 windows x 192 frames, seed-42 split) and
+writes `runs/experiments/record_results.csv`; this page commits the artifacts.
+
+{chr(10).join(rows)}
+
+![loss curves](grid/loss_curves.png)
+
+Per-loss final-checkpoint artifacts: `docs/grid/diagnostics_<loss>.png`
+(prediction-vs-target envelope/latent diagnostics) and
+`docs/grid/sample_<loss>.mp4` (render-at-checkpoint on the held-out chirp clip,
+256 px).
+
+## Divergence note: supervised + bare Adam
+
+The first supervised cell (bare `optax.adam`, matching the reference's
+`torch.optim.Adam` at ssar/train.py:262) diverged at step ~64k: val loss
+555 -> 6.3e5 spike -> collapse to a constant 9922.  Root cause is the fixed
+decoder's envelope normalisation `env / env.sum(-1)`
+(latent_n_noise2.py:151, mirrored at `ssar_tpu/models/reactor.py`): the sum
+has no sign guard, so a mid-training batch whose envelopes sum near zero
+fires an enormous gradient through the whole backbone.  The framework now
+defaults to global-norm gradient clipping (`--grad_clip 1.0`,
+`train/train.py`); `--grad_clip 0` restores the reference's exact optimizer.
+Clipping only binds for the supervised mode (self-supervised losses are O(1)
+with small gradients); the converged selfsupervised/ssabsdiff losses are
+unchanged.
+"""
+    (out / "GRID.md").write_text(md)
+    print(f"wrote {out / 'GRID.md'} + {grid_dir}")
+
+
+if __name__ == "__main__":
+    main()

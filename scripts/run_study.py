@@ -43,8 +43,7 @@ def build_models(G, grid_dir: Path):
     models = {
         "random_patch": RandomGenerator(G, fps=FPS, seed=0),
         "lucid_baseline": LucidSonicBaseline(G, fps=FPS),
-        "ssopt": SelfSupervisedOptimization(fps=FPS, n_steps=128,
-                                            gan_config=G.config),
+        "ssopt": SelfSupervisedOptimization(fps=FPS, gan_config=G.config),
     }
     for cell in sorted(grid_dir.glob("backbone-gru_*")):
         loss = [p for p in cell.name.split("_") if p.startswith("loss-")][0][5:]

@@ -24,7 +24,7 @@ import optax
 from ..audio import features as FT
 from ..models.hippo import HiPPOTimeseries
 from ..ops.gaussian import gaussian_filter
-from ..train.losses import normalize_gradients
+from ..train.losses import normalize_gradients, orthogonal_procrustes_distance
 
 AFNS = [FT.chromagram, FT.tonnetz, FT.mfcc, FT.spectral_contrast, FT.rms, FT.drop_strength, FT.onsets]
 
@@ -154,6 +154,7 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
              n_latent_split: int = 1, n_latent_groups: int = 1, n_latent_per_group: int = 6,
              n_noise: int = 6, lr: float = 1e-3, log_steps: int = 16, eval_steps: int = 128,
              lambda_rv2: float = 1.0, prediction_similarity_penalty: float = 0.0,
+             objective: str = "rv2", norm_grads: bool = True,
              out_dir: str = "output/optimization", seed: int = 42,
              audio: np.ndarray | None = None, sr: int | None = None,
              model_file: str | None = None, render: bool = False,
@@ -181,6 +182,13 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
     - ``lambda_lap``: segmentation-matching loss between on-device laplacian
       segmentations of each prediction and the audio features' segmentations
       (Sinkhorn assignment replaces the auction LAP solver).
+    - ``objective``: ``"rv2"`` is the standalone optimizer's loss
+      (ssar/optimize.py:326-346); ``"procrustes"`` is the comparison
+      harness's variant (comparison.py:176-199), which minimises the
+      weighted per-feature orthogonal procrustes distance — i.e. directly
+      the audio-reactivity metric the study scores — over raw (un-grad-
+      normalised when ``norm_grads=False``, the comparison default)
+      envelope/latent/noise predictions.
     """
     from ..gan.wrapper import StyleGAN2Mapper
 
@@ -264,9 +272,48 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
                 feature_segmentations[name] = laplacian_segmentation(
                     f.reshape(n_frames, -1), beats, ks=ks)
 
+    # Feature bank for the procrustes objective, prepared once: each feature
+    # centred over time, unit-frobenius, and zero-PADDED to a common width.
+    # Zero columns change neither the centring, the norm, nor the nuclear
+    # norm of the cross-covariance, so the padded bank scores identically —
+    # but it turns |preds| x |features| separate procrustes graphs (a
+    # compile-time monster: 49 eigh-with-grad subgraphs) into ONE batched
+    # matmul + batched eigvalsh per prediction, the MXU-friendly layout.
+    if objective == "procrustes":
+        f_width = max(int(np.prod(f.shape[1:])) for _, f, _ in feat_list)
+        f_bank = []
+        for _, f, _ in feat_list:
+            y = f.reshape(n_frames, -1).astype(jnp.float32)
+            y = y - jnp.mean(y, axis=0, keepdims=True)
+            y = y / (jnp.linalg.norm(y) + 1e-12)
+            f_bank.append(jnp.pad(y, ((0, 0), (0, f_width - y.shape[1]))))
+        f_bank = jnp.stack(f_bank)  # (F, T, f_width)
+        f_w = jnp.asarray([w for _, _, w in feat_list], jnp.float32)
+
+    def procrustes_bank_loss(pred):
+        """sum_f w_f * (1 - ||x̄ᵀȳ_f||_*) for one prediction vs the bank."""
+        x = pred - jnp.mean(pred, axis=0, keepdims=True)
+        x = x / (jnp.linalg.norm(x) + 1e-12)
+        a = jnp.einsum("td,fte->fde", x, f_bank)  # (F, Dp, f_width)
+        m = jnp.einsum("fde,fdg->feg", a, a)  # small-side Gram (F, fw, fw)
+        ev = jnp.linalg.eigvalsh(m)
+        nuc = jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0) + 1e-24), axis=-1)  # (F,)
+        return jnp.sum(f_w * (1.0 - nuc))
+
     def loss_fn(p):
         envs = hippo.decode(p)
         latents, noise = decoder(envs, noise_bases)
+        if objective == "procrustes":
+            preds = ([envs.reshape(n_frames, -1), latents.reshape(n_frames, -1)]
+                     + [n.reshape(n_frames, -1) for n in noise])
+            if norm_grads:  # comparison.py:183-188 (off by default there)
+                preds = ([normalize_gradients(preds[0], 1.0),
+                          normalize_gradients(preds[1], 1.0)]
+                         + [normalize_gradients(n, 1.0 / len(noise)) for n in preds[2:]])
+            loss = 0.0
+            for pred in preds:
+                loss = loss + procrustes_bank_loss(pred)
+            return loss
         predictions = ([normalize_gradients(envs, 1.0)]
                        + [normalize_gradients(latents, 10.0)]
                        + [normalize_gradients(n, 0.25) for n in noise])

@@ -76,14 +76,22 @@ class SupervisedSequenceModel:
 
 
 class SelfSupervisedOptimization:
-    """Per-track test-time optimization predictor (comparison.py:98-211)."""
+    """Per-track test-time optimization predictor (comparison.py:98-211).
+
+    Faithful to the COMPARISON variant of the optimizer, not the standalone
+    ``ssar/optimize.py`` one: 512 steps, per-feature orthogonal procrustes
+    objective (the same measure the study scores), no gradient
+    normalization, a 3x3x3 winner-takes-all latent split and 5 noise
+    envelopes (comparison.py:100-117,176-199)."""
 
     # the comparison harness's per-feature weight boosts (comparison.py:138-141)
     WEIGHT_BOOSTS = {"onsets": 3.0, "rms": 10.0, "rosa_segmentation": 2.0, "drop_strength": 10.0}
 
-    def __init__(self, fps: int = 24, n_steps: int = 128, gan_config=None, model_file=None):
+    def __init__(self, fps: int = 24, n_steps: int = 512, gan_config=None, model_file=None,
+                 objective: str = "procrustes"):
         self.fps, self.n_steps = fps, n_steps
         self.gan_config, self.model_file = gan_config, model_file
+        self.objective = objective
 
     def predict(self, audio, sr, palette=None, interp=None, n_params: int = 128,
                 emphasize_feature: str | None = None,
@@ -93,6 +101,8 @@ class SelfSupervisedOptimization:
         _, latents, noise, _ = optimize(
             audio=np.asarray(audio), sr=int(sr), fps=self.fps,
             n_steps=self.n_steps, n_params=n_params, gan_config=self.gan_config,
+            n_latent_split=3, n_latent_groups=3, n_latent_per_group=3, n_noise=5,
+            objective=self.objective, norm_grads=False,
             model_file=self.model_file, render=False, palette=palette, interp=interp,
             emphasize_feature=emphasize_feature,
             use_audio_segmentation_features=use_audio_segmentation_features,
