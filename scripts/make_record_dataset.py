@@ -94,6 +94,12 @@ def make_targets(audio: np.ndarray, seed: int, palette) -> tuple:
 
 
 def main():
+    import faulthandler
+
+    # the tunneled device RPC can stall; dump stacks periodically so a
+    # silent log is diagnosable
+    faulthandler.dump_traceback_later(300, repeat=True)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="data/record")
     ap.add_argument("--n_tracks", type=int, default=8)

@@ -10,10 +10,26 @@ battery, and score audio-reactivity correlation (1 - procrustes distance).
 A second forward_only pass records per-model inference runtimes
 (comparison.py:505-510).
 
+Round-4 additions (VERDICT r3 item 1): the run is self-diagnosing.
+ - scorer CALIBRATION: the known-correlation recipe videos
+   (metrics/generate.py, the reference's own metric-validation trick at
+   ssar/metrics/generate.py:60-174) are scored with the same battery; the
+   study is only credible if low < high_* ordering holds.
+ - render-gap diagnostics: every record carries latent-space correlation
+   and mean latent/pixel step sizes (ssar_tpu/metrics/comparison.py
+   evaluate_clip).
+ - lucid amplitude sensitivity: a second lucid entry at 1/5 the default
+   pulse/motion amplitudes.
+ - ssopt loss curves are captured per clip (does its own objective
+   plateau?).
+ - grid checkpoints are sanity-bounded: a run whose final val loss
+   exceeds --max_val_loss (a collapsed model) is refused.
+
     python scripts/run_study.py --out output/study
 
-Writes output/study/{study.csv, runtimes.csv, heatmap_<model>.png},
-consumed by docs/STUDY.md.
+Writes output/study/{study.csv, runtimes.csv, calibration.json,
+ssopt_curves.json, summary.json, heatmap_<model>.png}; commit via
+scripts/collect_study.py -> docs/STUDY.md.
 """
 from __future__ import annotations
 
@@ -34,7 +50,7 @@ N_CLIPS = 6
 CLIP_SECONDS = 16
 
 
-def build_models(G, grid_dir: Path):
+def build_models(G, grid_dir: Path, max_val_loss: float):
     from ssar_tpu.metrics.comparison import (LucidSonicBaseline, RandomGenerator,
                                              SelfSupervisedOptimization,
                                              SupervisedSequenceModel)
@@ -43,18 +59,71 @@ def build_models(G, grid_dir: Path):
     models = {
         "random_patch": RandomGenerator(G, fps=FPS, seed=0),
         "lucid_baseline": LucidSonicBaseline(G, fps=FPS),
+        # amplitude-sensitivity control: same recipe, 1/5 the kick sizes
+        "lucid_low_amp": LucidSonicBaseline(G, fps=FPS, pulse_react=0.1, motion_react=0.1),
         "ssopt": SelfSupervisedOptimization(fps=FPS, gan_config=G.config),
     }
+
+    # final val losses from the grid runner's results table, for the
+    # collapsed-checkpoint guard (VERDICT r3 weak #2: a diverged supervised
+    # model silently entered the round-3 study)
+    val_by_dir = {}
+    results_json = grid_dir / "record_results.json"
+    if results_json.exists():
+        for row in json.loads(results_json.read_text()):
+            if "log_dir" in row:
+                val_by_dir[Path(row["log_dir"]).name] = row.get("val_loss")
+
     for cell in sorted(grid_dir.glob("backbone-gru_*")):
         loss = [p for p in cell.name.split("_") if p.startswith("loss-")][0][5:]
         runs = sorted(d for d in cell.iterdir() if (d / "ckpt").exists())
         if not runs:
             print(f"skipping {cell.name}: no checkpointed run")
             continue
+        val = val_by_dir.get(runs[-1].name)
+        if val is not None and (not np.isfinite(val) or val > max_val_loss):
+            raise SystemExit(
+                f"REFUSING checkpoint {runs[-1].name}: final val loss {val:.4g} exceeds "
+                f"--max_val_loss {max_val_loss:.4g} — the model collapsed during training; "
+                "re-run the grid (python experiments.py --grid record) before the study")
         model, params, cfg = load_checkpoint(str(runs[-1]))
         models[f"gru_{loss}"] = SupervisedSequenceModel(model, params, fps=FPS, G=G)
-        print(f"loaded gru_{loss} from {runs[-1].name}")
+        print(f"loaded gru_{loss} from {runs[-1].name} (val loss {val})")
     return models
+
+
+def run_calibration(G, clips, out: Path) -> dict:
+    """Score the known-correlation recipe videos with the study's own
+    battery (reference ssar/metrics/generate.py:60-174).  Returns
+    {recipe: {clip: correlation}} and asserts nothing — the collected doc
+    interprets the ordering."""
+    import jax.numpy as jnp
+
+    from ssar_tpu.metrics.comparison import AFNS, VFN_NAMES, VFNS
+    from ssar_tpu.metrics.generate import CORRELATION_RECIPES, render_correlation_clip
+    from ssar_tpu.train.losses import audio_reactive_loss
+
+    path = out / "calibration.json"
+    if path.exists():
+        return json.loads(path.read_text())
+    results = {}
+    for recipe in CORRELATION_RECIPES:
+        results[recipe] = {}
+        for clip_name, audio, sr in clips:
+            t0 = time.time()
+            video = render_correlation_clip(recipe, audio, sr, G, fps=FPS, seed=7)
+            import jax
+
+            video128 = jax.image.resize(
+                jnp.asarray(video).transpose(0, 2, 3, 1),
+                (video.shape[0], 128, 128, 3), method="bilinear").transpose(0, 3, 1, 2)
+            vfeats = {n: fn(video128)[None] for n, fn in zip(VFN_NAMES, VFNS)}
+            afeats = {fn.__name__: fn(jnp.asarray(audio), int(sr))[None] for fn in AFNS}
+            corr = float(1 - audio_reactive_loss(afeats, vfeats)[0])
+            results[recipe][clip_name] = corr
+            print(f"calibration {recipe}/{clip_name}: {corr:.4f} ({time.time() - t0:.0f}s)")
+    path.write_text(json.dumps(results, indent=2))
+    return results
 
 
 def main():
@@ -68,6 +137,9 @@ def main():
     ap.add_argument("--out", default="output/study")
     ap.add_argument("--grid_dir", default="runs/experiments")
     ap.add_argument("--resolution", type=int, default=256)
+    ap.add_argument("--max_val_loss", type=float, default=2000.0,
+                    help="refuse grid checkpoints whose final val loss exceeds this")
+    ap.add_argument("--skip_calibration", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -82,29 +154,51 @@ def main():
 
     clips = [(f"clip{i}", synth_track(seed=2000 + i, seconds=CLIP_SECONDS), SR)
              for i in range(N_CLIPS)]
-    models = build_models(G, Path(args.grid_dir))
+    models = build_models(G, Path(args.grid_dir), args.max_val_loss)
     print(f"{len(models)} models x {len(clips)} clips")
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    wall = {}
+
+    t0 = time.time()
+    if not args.skip_calibration:
+        run_calibration(G, clips[:3], out)
+        wall["calibration_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
     records = compare_models("study", models, clips, G, out_dir=args.out)
-    print(f"correlation battery: {time.time() - t0:.0f}s, {len(records)} records")
+    wall["battery_s"] = round(time.time() - t0, 1)
+    print(f"correlation battery: {wall['battery_s']:.0f}s, {len(records)} records")
+
+    # ssopt objective curves (captured by the optimizer during the battery)
+    ssopt = models.get("ssopt")
+    if ssopt is not None and getattr(ssopt, "loss_curves", None):
+        (out / "ssopt_curves.json").write_text(json.dumps(ssopt.loss_curves, indent=2))
 
     t0 = time.time()
     runtimes = compare_models("runtimes", models, clips, G, out_dir=args.out,
                               forward_only=True)
-    print(f"forward-only pass: {time.time() - t0:.0f}s")
+    wall["forward_only_s"] = round(time.time() - t0, 1)
+    print(f"forward-only pass: {wall['forward_only_s']:.0f}s")
 
     # summary table + per-model heatmaps
-    out = Path(args.out)
     from ssar_tpu.utils.plot import correlation_heatmap
 
-    summary = {}
+    summary = {"wall_clock": wall}
+    if getattr(models.get("random_patch"), "mir_seconds", None):
+        summary["wall_clock"]["patch_mir_s_per_clip"] = float(
+            np.median(models["random_patch"].mir_seconds))
     for m in models:
         recs = [r for r in records if r["model_name"] == m]
         if recs:
             summary[m] = {
                 "median_correlation": float(np.median([r["correlation"] for r in recs])),
                 "mean_correlation": float(np.mean([r["correlation"] for r in recs])),
+                "median_latent_correlation": float(
+                    np.median([r["latent_correlation"] for r in recs if "latent_correlation" in r])
+                    if any("latent_correlation" in r for r in recs) else float("nan")),
+                "mean_latent_step": float(np.mean([r.get("mean_latent_step", np.nan) for r in recs])),
+                "mean_pixel_step": float(np.mean([r.get("mean_pixel_step", np.nan) for r in recs])),
                 "n_clips": len(recs),
             }
             correlation_heatmap(

@@ -97,20 +97,42 @@ def verify_slowfast_r50(ckpt: str, fetch: bool):
     from ssar_tpu.models.convert_extractors import convert_slowfast_r50
     from ssar_tpu.models.slowfast_r50 import SlowFastConfig, slowfast_embed
 
+    from ssar_tpu.models.slowfast_r50 import slowfast_features
+
     blob = torch.load(ckpt, map_location="cpu", weights_only=False)
     sd = blob.get("model_state", blob) if isinstance(blob, dict) else blob
-    params = convert_slowfast_r50({k: np.asarray(v) for k, v in sd.items()})
+    sd = {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}
+    params = convert_slowfast_r50({k: v.numpy() for k, v in sd.items()})
     cfg = SlowFastConfig()
-    x = np.random.RandomState(0).rand(1, 32, 224, 224, 3).astype(np.float32) * 2 - 1
+    # 64px fixture: every layer runs its real channel widths/temporal kernels
+    # while the CPU torch oracle stays tractable (same trade as the full-width
+    # parity test, tests/test_slowfast.py:160).
+    x = np.random.RandomState(0).rand(1, 32, 64, 64, 3).astype(np.float32) * 2 - 1
+    ours_feats = slowfast_features(params, x[:, :: cfg.alpha], x, cfg)
     ours = np.asarray(slowfast_embed(params, x[:, :: cfg.alpha], x, cfg))
     ref = None
-    try:  # upstream oracle when pytorchvideo is present
-        pv = __import__("pytorchvideo.models.hub", fromlist=["slowfast_r50"])
-        m = pv.slowfast_r50(pretrained=False)
-        m.load_state_dict(sd, strict=False)
-        m.eval()
-    except ImportError:
-        pass
+    # Oracle: the in-repo functional torch replica of LayerSlowFast._forward
+    # (tests/test_slowfast.py), which consumes exactly the facebook-slowfast
+    # `model_state` key naming the converter expects — unlike pytorchvideo's
+    # hub model (`blocks.*` names), which strict=False would silently skip.
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    from test_slowfast import _torch_forward
+
+    fast_t = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
+    try:
+        with torch.inference_mode():
+            ref_feats = _torch_forward(sd, cfg, fast_t[:, :, :: cfg.alpha], fast_t)
+    except KeyError as e:
+        print(f"slowfast_r50: oracle forward missing checkpoint key {e} — "
+              "is this a facebook-slowfast SLOWFAST_8x8_R50 model_state?")
+        ref_feats = None
+    if ref_feats is not None:
+        for i, (o, r) in enumerate(zip(ours_feats, ref_feats)):
+            d = np.abs(np.asarray(o) - r.numpy())
+            print(f"slowfast_r50 layer {i}: max|diff| {d.max():.3e} mean {d.mean():.3e}")
+        np.testing.assert_allclose(np.asarray(ours_feats[-1]), ref_feats[-1].numpy(),
+                                   atol=2e-3, rtol=1e-2)
+        ref = ref_feats[-1].mean(1).numpy()  # slowfast_embed = time-mean of last layer
     _report("slowfast_r50", ours, ref)
 
 
@@ -187,7 +209,7 @@ def main(argv=None):
         known = KNOWN_SHA256.get(Path(args.ckpt).name)
         print(f"{Path(args.ckpt).name}: sha256 {digest}"
               + ("" if known is None else f" (expected {known}: "
-                 + ("OK" if digest == known else "MISMATCH")))
+                 + ("OK" if digest == known else "MISMATCH") + ")"))
         if known is not None and digest != known:
             raise SystemExit("checksum mismatch — refusing to convert")
     VERIFIERS[args.arch](args.ckpt, args.fetch)

@@ -280,6 +280,14 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
     # compile-time monster: 49 eigh-with-grad subgraphs) into ONE batched
     # matmul + batched eigvalsh per prediction, the MXU-friendly layout.
     if objective == "procrustes":
+        if lambda_lap or prediction_similarity_penalty or lambda_rv2 != 1.0:
+            import warnings
+
+            warnings.warn(
+                "objective='procrustes' ignores lambda_lap, "
+                "prediction_similarity_penalty and lambda_rv2 — these only "
+                "apply to the rv2 objective (ssar/optimize.py:326-346)",
+                stacklevel=2)
         f_width = max(int(np.prod(f.shape[1:])) for _, f, _ in feat_list)
         f_bank = []
         for _, f, _ in feat_list:
@@ -334,24 +342,38 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
                     loss = loss + prediction_similarity_penalty * abscos(predictions[i], predictions[j])
         return loss
 
-    @jax.jit
-    def step(p, o):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, o = optimizer.update(grads, o, p)
-        return optax.apply_updates(p, updates), o, loss
+    # Fused multi-step driver: `log_steps` optimizer steps per device call
+    # via lax.scan, ONE host loss-fetch per chunk.  The per-step python loop
+    # cost 512 tunnel round-trips per track in the round-3 study (five-minute
+    # faulthandler stalls in its log); chunking divides that by log_steps.
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="k")
+    def run_chunk(p, o, k):
+        def body(carry, _):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (p, o), chunk_losses = jax.lax.scan(body, (p, o), None, length=k)
+        return p, o, chunk_losses
 
     losses = []
     out_base = Path(out_dir) / f"hippo_{Path(audio_file).stem if audio_file else 'synthetic'}_{seed}"
     out_base.parent.mkdir(parents=True, exist_ok=True)
-    for it in range(n_steps):
-        params, opt_state, loss = step(params, opt_state)
-        if it % log_steps == 0:
-            losses.append(float(loss))
-            print(f"step {it}: loss {losses[-1]:.4f}")
-        if render and (it + 1) % eval_steps == 0:
+    it = 0
+    while it < n_steps:
+        k = min(log_steps, n_steps - it)
+        params, opt_state, chunk_losses = run_chunk(params, opt_state, k)
+        host_losses = np.asarray(chunk_losses)  # single host sync per chunk
+        losses.append(float(host_losses[0]))  # loss at step `it`, same cadence as before
+        print(f"step {it}: loss {losses[-1]:.4f}")
+        it += k
+        if render and it % eval_steps == 0:
             envs = hippo.decode(params)
             latents, noise = decoder(envs, noise_bases)
-            _render_eval(audio_file, latents, noise, f"{out_base}_{it + 1}.mp4", model_file,
+            _render_eval(audio_file, latents, noise, f"{out_base}_{it}.mp4", model_file,
                          fps, gan_config)
 
     envs = hippo.decode(params)

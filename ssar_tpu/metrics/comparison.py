@@ -35,16 +35,39 @@ VFN_NAMES = ["rgb_hist", "hsv_hist", "video_spectrogram", "directogram", "low_fr
 
 
 class RandomGenerator:
-    """Random-patch predictor (comparison.py:58-74)."""
+    """Random-patch predictor (comparison.py:58-74).
+
+    MIR retrieval (feature stack + host beat tracking + host scipy
+    laplacian segmentation) costs minutes per clip on a 1-core host and is
+    a pure function of the audio, so it is memoized per clip: the study's
+    forward-only runtime pass re-predicts the same clips right after the
+    battery (comparison.py:505-510) and must not pay MIR twice.  Per-clip
+    MIR wall time is logged in ``mir_seconds`` so the runtime table can
+    report it separately from ``patch.forward``.
+    """
 
     def __init__(self, G, fps: int = 24, seed: int | None = None):
         self.G, self.fps, self.seed = G, fps, seed
+        self._mir_cache: dict = {}
+        self.mir_seconds: list = []
+
+    def _mir(self, audio, sr):
+        import time
+
+        a = np.asarray(audio)
+        key = (a.shape, int(sr), a[:: max(1, a.size // 64)].tobytes())
+        if key not in self._mir_cache:
+            from ..generate.mir import retrieve_music_information
+
+            t0 = time.time()
+            self._mir_cache[key] = retrieve_music_information(audio, sr)
+            self.mir_seconds.append(round(time.time() - t0, 1))
+        return self._mir_cache[key]
 
     def predict(self, audio, sr, palette=None, interp=None):
-        from ..generate.mir import retrieve_music_information
         from ..generate.patch import Patch
 
-        features, segmentations, tempo = retrieve_music_information(audio, sr)
+        features, segmentations, tempo = self._mir(audio, sr)
         seed = self.seed if self.seed is not None else int(np.random.randint(0, 2**31))
         patch = Patch(features=features, segmentations=segmentations, tempo=tempo,
                       seed=seed, fps=self.fps)
@@ -92,13 +115,14 @@ class SelfSupervisedOptimization:
         self.fps, self.n_steps = fps, n_steps
         self.gan_config, self.model_file = gan_config, model_file
         self.objective = objective
+        self.loss_curves: list = []  # one loss curve per predict() call
 
     def predict(self, audio, sr, palette=None, interp=None, n_params: int = 128,
                 emphasize_feature: str | None = None,
                 use_audio_segmentation_features: bool = True):
         from ..generate.optimize import optimize
 
-        _, latents, noise, _ = optimize(
+        _, latents, noise, losses = optimize(
             audio=np.asarray(audio), sr=int(sr), fps=self.fps,
             n_steps=self.n_steps, n_params=n_params, gan_config=self.gan_config,
             n_latent_split=3, n_latent_groups=3, n_latent_per_group=3, n_noise=5,
@@ -107,6 +131,7 @@ class SelfSupervisedOptimization:
             emphasize_feature=emphasize_feature,
             use_audio_segmentation_features=use_audio_segmentation_features,
             feature_weight_boosts=self.WEIGHT_BOOSTS)
+        self.loss_curves.append(losses)
         return latents, noise
 
 
@@ -137,7 +162,15 @@ def _render_lowres(G, latents, noise, batch_size: int = 16, size: int = 128):
 
 
 def evaluate_clip(G, model, audio, sr) -> dict:
-    """One (model, clip) evaluation -> correlation record."""
+    """One (model, clip) evaluation -> correlation record.
+
+    Besides the video-feature correlation the reference scores
+    (comparison.py:538-548), each record carries render-gap diagnostics:
+    the same procrustes correlation computed directly on the predicted
+    LATENT/NOISE sequences (what ssopt optimizes), and the mean latent /
+    pixel frame-to-frame step sizes (is a model's score explained by how
+    much its video moves at all?).
+    """
     latents, noise = model.predict(audio, sr)
     video = _render_lowres(G, latents, noise)
 
@@ -148,7 +181,31 @@ def evaluate_clip(G, model, audio, sr) -> dict:
     for an, af in afeats.items():
         for vn, vf in vfeats.items():
             record[f"{an}|{vn}"] = float(1 - audio_reactive_loss([af], [vf])[0])
+
+    T = int(latents.shape[0])
+    lat = jnp.reshape(latents, (T, -1))
+    lfeats = {"latents": lat[None]}
+    for j, n in enumerate(_materialized_noise(noise, T)):
+        lfeats[f"noise{j}"] = jnp.reshape(n, (T, -1))[None]
+    record["latent_correlation"] = float(1 - audio_reactive_loss(afeats, lfeats)[0])
+    record["mean_latent_step"] = float(jnp.mean(jnp.abs(jnp.diff(lat, axis=0))))
+    record["mean_pixel_step"] = float(jnp.mean(jnp.abs(jnp.diff(video, axis=0))))
     return record
+
+
+def _materialized_noise(noise, T: int, max_size: int = 64) -> list:
+    """Noise predictions as (T, ...) arrays for latent-space scoring; lazy
+    patch noise modules are materialized up to ``max_size`` pixels wide."""
+    if noise is None:
+        return []
+    out = []
+    for n in noise:
+        if hasattr(n, "forward") and not isinstance(n, jnp.ndarray):
+            n = n.forward(0, T)
+            if n.shape[-1] > max_size:
+                continue
+        out.append(jnp.asarray(n))
+    return out
 
 
 def compare_models(name: str, models: dict, clips: list, G, out_dir: str = "output",
@@ -172,8 +229,8 @@ def compare_models(name: str, models: dict, clips: list, G, out_dir: str = "outp
                 records.append(json.loads(item.read_text()))
                 continue
             try:
+                t0 = time.time()
                 if forward_only:
-                    t0 = time.time()
                     latents, noise = model.predict(audio, sr)
                     jax.block_until_ready(latents)
                     rec = {"n": int(np.asarray(audio).shape[-1] // 1024),
@@ -183,7 +240,8 @@ def compare_models(name: str, models: dict, clips: list, G, out_dir: str = "outp
             except Exception as e:  # keep long sweeps alive (comparison.py:350-351)
                 print(f"ERROR {clip_name}/{model_name}: {e}")
                 continue
-            rec.update({"clip": clip_name, "model_name": model_name})
+            rec.update({"clip": clip_name, "model_name": model_name,
+                        "wall_s": round(time.time() - t0, 1)})
             item.write_text(json.dumps(rec))
             records.append(rec)
             tag = (f"{rec['n'] / max(rec['time'], 1e-9):.1f} frames/s" if forward_only
