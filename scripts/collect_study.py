@@ -86,8 +86,17 @@ def diagnosis_section(rows: list[dict], calibration: dict | None) -> list[str]:
             f"lucid recipe's video score ({lb['median']:.3f}) EXCEEDS its own",
             f"latent score ({lb['latent']:.3f}): its onset kicks survive any",
             "latent->pixel map, palette structure does not (see #1).",
-            "",
         ]
+        if "gru_selfsupervised" in by:
+            ss = by["gru_selfsupervised"]
+            lines += [
+                f"In the space the models control, the self-supervised reactor is",
+                f"the best model in the study: latent correlation {ss['latent']:.3f},",
+                f"above the lucid recipe's {lb['latent']:.3f} — it maximizes exactly",
+                "the measure it was trained on (procrustes vs audio features),",
+                "pre-render.",
+            ]
+        lines += [""]
 
     if "lucid_low_amp" in by and "lucid_baseline" in by:
         la, lb = by["lucid_low_amp"], by["lucid_baseline"]
@@ -105,15 +114,18 @@ def diagnosis_section(rows: list[dict], calibration: dict | None) -> list[str]:
     if "ssopt" in by:
         so = by["ssopt"]
         lines += [
-            "**4. ssopt under-moves.**  Its optimized latents step "
-            f"{so['lat_step']:.4f} per frame — "
+            "**4. ssopt converges on its objective but under-moves.**  The",
+            "committed loss curves plateau well before step 512 (final slope",
+            "~0.2 per 16 steps on an objective of ~500), so it is NOT",
+            f"under-optimized — yet its latents step only {so['lat_step']:.4f}",
+            "per frame, "
             f"{by.get('random_patch', {}).get('lat_step', 0) / max(so['lat_step'], 1e-9):.0f}x "
-            "less than the patch system — because the procrustes objective is",
-            "scale-invariant: a microscopic but correlated wiggle maximizes it as",
-            "well as a visible one, and nothing in the objective rewards",
-            "amplitude.  The correlated signal it does encode (latent corr "
-            f"{so['latent']:.3f}) then crosses the same broken render channel as",
-            "#1.  The reference's variant has the identical property",
+            "less than the patch system, because the procrustes objective is",
+            "scale-invariant: a microscopic but correlated wiggle maximizes it",
+            "exactly as well as a visible one, and nothing in the objective",
+            "rewards amplitude.  The correlated signal it does encode (latent",
+            f"corr {so['latent']:.3f}) then crosses the same attenuated render",
+            "channel as #1.  The reference's variant has the identical property",
             "(comparison.py:176-199); its published videos rely on a trained G",
             "plus hand-tuned weight boosts.",
             "",
@@ -267,6 +279,9 @@ def main():
                    if his and lo < min(his) else
                    "WARNING: the scorer does NOT separate the constructed levels")
         lines += ["", f"low = {lo:.3f} vs min(high_*) = {min(his):.3f} — {verdict}."]
+        if his and 0 < min(his) - lo < 0.05:
+            lines += ["The margin on the weakest channel (high_chroma) is thin —",
+                      "that attenuation is itself the key diagnostic; see #1 below."]
 
     if curves:
         drops = [c[0] - c[-1] for c in curves if len(c) > 1]
