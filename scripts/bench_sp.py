@@ -48,13 +48,18 @@ def make_track(seconds: int) -> np.ndarray:
 
 
 def timed(fn, *a, repeats=3, **kw):
+    def sync(o):
+        # true device sync: fetch one scalar.  On the tunneled axon runtime
+        # block_until_ready returns immediately (bench.py:109-110)
+        np.asarray(o.ravel()[0])
+
     out = fn(*a, **kw)
-    out.block_until_ready()
+    sync(out)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(*a, **kw)
-        out.block_until_ready()
+        sync(out)
         times.append(time.perf_counter() - t0)
     return out, min(times)
 

@@ -34,17 +34,34 @@ def make_track(seconds: int) -> np.ndarray:
     return x.astype(np.float32)
 
 
-def timed(label, fn, *a, iters=10, results=None, **kw):
+def _sync(out):
+    """True device sync: fetch one scalar.  On the tunneled axon runtime
+    block_until_ready returns immediately (bench.py:109-110); only a value
+    fetch drains the stream."""
     import jax
 
+    import jax.numpy as jnp
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "shape"):
+            v = leaf.ravel()[0] if leaf.ndim else leaf
+            if jnp.iscomplexobj(v):
+                v = jnp.abs(v)  # complex fetch is UNIMPLEMENTED on axon
+            np.asarray(v)
+            return
+
+
+def timed(label, fn, *a, iters=10, results=None, **kw):
     out = fn(*a, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*a, **kw)
-    jax.block_until_ready(out)
+    # one fetch after the async dispatch queue: total = iters x device time
+    # + a single ~50 ms tunnel round trip (amortized below the noise floor)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{label:34s} {dt:9.2f} ms")
+    print(f"{label:34s} {dt:9.2f} ms", flush=True)
     if results is not None:
         results[label] = round(dt, 2)
     return out

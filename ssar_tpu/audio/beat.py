@@ -54,9 +54,9 @@ def mel_power_multi(signals: jax.Array, sr: int, hop_length: int = 1024,
     N, L = signals.shape
     pad = n_fft // 2
     x = jnp.pad(signals, ((0, 0), (pad, pad)), mode="reflect")
-    n_frames = (x.shape[1] - n_fft) // hop_length + 1
-    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    frames = x[:, idx] * jnp.asarray(hann_window(n_fft))
+    from .spectral import frame_signal_batched
+
+    frames = frame_signal_batched(x, n_fft, hop_length) * jnp.asarray(hann_window(n_fft))
     S = jnp.abs(jnp.fft.rfft(frames, axis=2)) ** 2  # (N, T+1, F)
     S = S[:, :-1]  # drop trailing frame (spectral.py:59-62 semantics)
     basis = jnp.asarray(mel_basis(sr, n_fft, fmax=11025.0))

@@ -78,12 +78,10 @@ def onsets(audio: jax.Array, sr: int) -> jax.Array:
 def rms(y: jax.Array, sr: int, frame_length: int = 2048, hop_length: int = 1024,
         center: bool = True, pad_mode: str = "reflect") -> jax.Array:
     """Framewise root-mean-square, (T, 1) (audio.py:31-37)."""
-    if center:
-        p = frame_length // 2
-        y = jnp.pad(y, (p, p), mode=pad_mode)
-    n_frames = (y.shape[0] - frame_length) // hop_length + 1
-    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(frame_length)[None, :]
-    frames = y[idx][:-1]
+    from .spectral import frame_signal
+
+    frames = frame_signal(y, frame_length, hop_length, center=center,
+                          pad_mode=pad_mode)[:-1]
     power = jnp.mean(jnp.abs(frames) ** 2, axis=1)
     return jnp.sqrt(power)[:, None]
 
@@ -250,11 +248,11 @@ def _stage_onsets(audio_perc: jax.Array, sr: int):
 
 def _rms_multi(signals: jax.Array, frame_length: int = 2048, hop_length: int = 1024) -> jax.Array:
     """Batched framewise RMS: (N, L) -> (N, T)."""
+    from .spectral import frame_signal_batched
+
     p = frame_length // 2
     x = jnp.pad(signals, ((0, 0), (p, p)), mode="reflect")
-    n_frames = (x.shape[1] - frame_length) // hop_length + 1
-    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(frame_length)[None, :]
-    frames = x[:, idx][:, :-1]
+    frames = frame_signal_batched(x, frame_length, hop_length)[:, :-1]
     return jnp.sqrt(jnp.mean(frames**2, axis=2))
 
 

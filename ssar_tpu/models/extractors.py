@@ -29,9 +29,9 @@ def vggish_log_mel(audio: jax.Array, sr: int = 16000) -> jax.Array:
     win = int(round(sr * 0.025))
     hop = int(round(sr * 0.010))
     n_fft = int(2 ** np.ceil(np.log2(win)))
-    n_frames = (audio.shape[0] - win) // hop + 1
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(win)[None, :]
-    frames = audio[idx] * jnp.asarray(hann_window(win))
+    from ..audio.spectral import frame_signal
+
+    frames = frame_signal(audio, win, hop, center=False) * jnp.asarray(hann_window(win))
     spec = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=1))
     basis = jnp.asarray(mel_basis(sr, n_fft, n_mels=64, fmin=125.0, fmax=7500.0))
     mel = jnp.log(spec @ basis.T + 0.01)
