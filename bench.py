@@ -151,7 +151,8 @@ def bench_features(seconds=40, fps=24, iters=10):
     t0 = time.time()
     for _ in range(iters):
         F = audio2features(aj, sr, fps)
-        np.asarray(F[0, 0])
+    np.asarray(F[0, 0])  # one sync after the async dispatch queue: charges
+    # a single ~50 ms tunnel round trip instead of one per iteration
     return seconds / ((time.time() - t0) / iters)
 
 
