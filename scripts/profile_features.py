@@ -99,7 +99,11 @@ def main():
     tuning = float(estimate_tuning(harm[: 4 * SR], SR))
     timed("  _stage_chroma (CQT+CENS+tonnetz)", FT._stage_chroma, harm, SR, tuning,
           results=res)
-    timed("    cqt alone (harmonic)", cqt, harm, SR, results=res)
+    # jitted, like the stage that contains it — eager cqt dispatches each
+    # octave op over the tunnel and reads ~3x higher
+    cqt_j = jax.jit(lambda x: cqt(x, SR, n_bins=252, bins_per_octave=36,
+                                  tuning=0.0, method="recursive"))
+    timed("    cqt 252x36 alone (jit)", cqt_j, harm, results=res)
     timed("  _stage_onsets (mel flux + PLP)", FT._stage_onsets, perc, SR, results=res)
     timed("  _stage_rms (8 band envelopes)", FT._stage_rms, harm, audio, SR,
           results=res)
