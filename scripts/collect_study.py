@@ -28,7 +28,7 @@ def load_records(src: Path, sub: str) -> list[dict]:
     return [json.loads(p.read_text()) for p in sorted((src / sub).glob("*.json"))]
 
 
-def plot_ssopt_curves(curves: list, out_png: Path) -> None:
+def plot_ssopt_curves(curves: list, out_png: Path, log_steps: int = 16) -> None:
     import matplotlib
 
     matplotlib.use("Agg")
@@ -36,7 +36,7 @@ def plot_ssopt_curves(curves: list, out_png: Path) -> None:
 
     fig, ax = plt.subplots(figsize=(6, 3.5))
     for i, c in enumerate(curves):
-        ax.plot(np.arange(len(c)) * 16, c, lw=1.2, label=f"clip{i}")
+        ax.plot(np.arange(len(c)) * log_steps, c, lw=1.2, label=f"clip{i}")
     ax.set_xlabel("optimization step")
     ax.set_ylabel("procrustes objective")
     ax.set_title("ssopt per-clip objective curves")
@@ -173,10 +173,13 @@ def main():
     if (src / "calibration.json").exists():
         calibration = json.loads((src / "calibration.json").read_text())
         (doc_dir / "calibration.json").write_text(json.dumps(calibration, indent=2) + "\n")
-    curves = None
+    curves, curve_stride = None, 16
     if (src / "ssopt_curves.json").exists():
         curves = json.loads((src / "ssopt_curves.json").read_text())
-        plot_ssopt_curves(curves, doc_dir / "ssopt_curves.png")
+        if isinstance(curves, dict):  # round-5 format records the loss-sample stride
+            curve_stride = int(curves.get("log_steps", 16))
+            curves = curves["curves"]
+        plot_ssopt_curves(curves, doc_dir / "ssopt_curves.png", log_steps=curve_stride)
 
     by_model = defaultdict(list)
     for r in records:
@@ -196,9 +199,11 @@ def main():
             "median": float(np.median(corr)),
             "mean": float(np.mean(corr)),
             "std": float(np.std(corr)),
-            "latent": float(np.median([r.get("latent_correlation", np.nan) for r in recs])),
-            "lat_step": float(np.mean([r.get("mean_latent_step", np.nan) for r in recs])),
-            "pix_step": float(np.mean([r.get("mean_pixel_step", np.nan) for r in recs])),
+            # nan-tolerant: one cached pre-round-4 record without the
+            # diagnostics keys must not poison the whole column (advisor r4)
+            "latent": float(np.nanmedian([r.get("latent_correlation", np.nan) for r in recs])),
+            "lat_step": float(np.nanmean([r.get("mean_latent_step", np.nan) for r in recs])),
+            "pix_step": float(np.nanmean([r.get("mean_pixel_step", np.nan) for r in recs])),
             "fps": float(np.median(rts)) if rts else float("nan"),
             "top_pairs": top,
         })
@@ -231,8 +236,9 @@ def main():
         "[calibration.json](study/calibration.json).",
     ]
     if wall:
-        lines += ["", "Wall-clock: " + ", ".join(f"{k.replace('_s', '')} {v:.0f}s"
-                                                 for k, v in wall.items()) + "."]
+        lines += ["", "Wall-clock: " + ", ".join(
+            f"{k.replace('_s', '')} {v:.0f}s" if isinstance(v, (int, float))
+            else f"{k.replace('_s', '')} {v}" for k, v in wall.items()) + "."]
     lines += [
         "",
         "## Headline table",
@@ -290,7 +296,7 @@ def main():
             "## ssopt objective convergence",
             "",
             f"Per-clip procrustes objective over 512 optimization steps (mean drop",
-            f"{np.mean(drops):.3f}; final-step mean slope per 16 steps "
+            f"{np.mean(drops):.3f}; final-step mean slope per {curve_stride} steps "
             f"{np.mean([c[-2] - c[-1] for c in curves if len(c) > 2]):.4f}):",
             "",
             "![ssopt curves](study/ssopt_curves.png)",

@@ -50,7 +50,7 @@ N_CLIPS = 6
 CLIP_SECONDS = 16
 
 
-def build_models(G, grid_dir: Path, max_val_loss: float):
+def build_models(G, grid_dir: Path, max_val_loss: float, model_file: str | None = None):
     from ssar_tpu.metrics.comparison import (LucidSonicBaseline, RandomGenerator,
                                              SelfSupervisedOptimization,
                                              SupervisedSequenceModel)
@@ -61,7 +61,17 @@ def build_models(G, grid_dir: Path, max_val_loss: float):
         "lucid_baseline": LucidSonicBaseline(G, fps=FPS),
         # amplitude-sensitivity control: same recipe, 1/5 the kick sizes
         "lucid_low_amp": LucidSonicBaseline(G, fps=FPS, pulse_react=0.1, motion_react=0.1),
-        "ssopt": SelfSupervisedOptimization(fps=FPS, gan_config=G.config),
+        # model_file: ssopt maps its own palette internally, so it must see
+        # the same checkpoint as the study G (not a fresh random mapper)
+        "ssopt": SelfSupervisedOptimization(fps=FPS, gan_config=G.config,
+                                            model_file=model_file),
+        # amplitude-prior variant (VERDICT r4 item 2): same objective plus an
+        # opt-in motion-amplitude term pinning mean |Δlatent| to the patch
+        # system's measured 0.048/frame (the procrustes objective alone is
+        # scale-invariant and under-moves 25x, docs/STUDY.md r4 §4)
+        "ssopt_amp": SelfSupervisedOptimization(fps=FPS, gan_config=G.config,
+                                                model_file=model_file,
+                                                lambda_amplitude=100.0),
     }
 
     # final val losses from the grid runner's results table, for the
@@ -105,7 +115,7 @@ def run_calibration(G, clips, out: Path) -> dict:
 
     path = out / "calibration.json"
     if path.exists():
-        return json.loads(path.read_text())
+        return json.loads(path.read_text()), True
     results = {}
     for recipe in CORRELATION_RECIPES:
         results[recipe] = {}
@@ -123,7 +133,7 @@ def run_calibration(G, clips, out: Path) -> dict:
             results[recipe][clip_name] = corr
             print(f"calibration {recipe}/{clip_name}: {corr:.4f} ({time.time() - t0:.0f}s)")
     path.write_text(json.dumps(results, indent=2))
-    return results
+    return results, False
 
 
 def main():
@@ -140,6 +150,11 @@ def main():
     ap.add_argument("--max_val_loss", type=float, default=2000.0,
                     help="refuse grid checkpoints whose final val loss exceeds this")
     ap.add_argument("--skip_calibration", action="store_true")
+    ap.add_argument("--model_file", default=None,
+                    help="G checkpoint (.npz) — e.g. the in-env calibration G "
+                         "from scripts/train_calibration_g.py; None = random init")
+    ap.add_argument("--max_channels", type=int, default=512,
+                    help="G width cap; must match the checkpoint's config")
     args = ap.parse_args()
 
     import jax
@@ -149,12 +164,15 @@ def main():
     from ssar_tpu.metrics.comparison import compare_models
 
     print(f"backend: {jax.default_backend()}")
-    G = StyleGAN2(output_size=(args.resolution, args.resolution),
-                  config=StyleGAN2Config(resolution=args.resolution), seed=0)
+    G = StyleGAN2(model_file=args.model_file,
+                  output_size=(args.resolution, args.resolution),
+                  config=StyleGAN2Config(resolution=args.resolution,
+                                         max_channels=args.max_channels), seed=0)
 
     clips = [(f"clip{i}", synth_track(seed=2000 + i, seconds=CLIP_SECONDS), SR)
              for i in range(N_CLIPS)]
-    models = build_models(G, Path(args.grid_dir), args.max_val_loss)
+    models = build_models(G, Path(args.grid_dir), args.max_val_loss,
+                          model_file=args.model_file)
     print(f"{len(models)} models x {len(clips)} clips")
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -162,18 +180,25 @@ def main():
 
     t0 = time.time()
     if not args.skip_calibration:
-        run_calibration(G, clips[:3], out)
-        wall["calibration_s"] = round(time.time() - t0, 1)
+        _, cached = run_calibration(G, clips[:3], out)
+        # a resume-skip must not record 0.0 wall-clock for a phase that
+        # plainly ran (VERDICT r4 weak #6): record the cache hit explicitly
+        wall["calibration_s"] = "cached" if cached else round(time.time() - t0, 1)
 
     t0 = time.time()
     records = compare_models("study", models, clips, G, out_dir=args.out)
     wall["battery_s"] = round(time.time() - t0, 1)
     print(f"correlation battery: {wall['battery_s']:.0f}s, {len(records)} records")
 
-    # ssopt objective curves (captured by the optimizer during the battery)
-    ssopt = models.get("ssopt")
-    if ssopt is not None and getattr(ssopt, "loss_curves", None):
-        (out / "ssopt_curves.json").write_text(json.dumps(ssopt.loss_curves, indent=2))
+    # ssopt objective curves (captured by the optimizer during the battery);
+    # record the loss-sample stride so downstream axes/slopes stay honest
+    for nm in ("ssopt", "ssopt_amp"):
+        ssopt = models.get(nm)
+        if ssopt is not None and getattr(ssopt, "loss_curves", None):
+            suffix = "" if nm == "ssopt" else "_amp"
+            (out / f"ssopt_curves{suffix}.json").write_text(json.dumps(
+                {"log_steps": getattr(ssopt, "log_steps", 16),
+                 "curves": ssopt.loss_curves}, indent=2))
 
     t0 = time.time()
     runtimes = compare_models("runtimes", models, clips, G, out_dir=args.out,

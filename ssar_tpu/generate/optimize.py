@@ -163,7 +163,8 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
              emphasize_feature: str | None = None,
              feature_weight_boosts: dict | None = None,
              use_audio_segmentation_features: bool = False,
-             lambda_lap: float = 0.0, ks=(2, 4, 6, 8, 12, 16)):
+             lambda_lap: float = 0.0, ks=(2, 4, 6, 8, 12, 16),
+             lambda_amplitude: float = 0.0, target_latent_step: float = 0.048):
     """Returns (envelopes (T, E), latents (T, n_ws, 512), noise list, losses).
 
     Optional reference behaviours (ssar/optimize.py:244-346,
@@ -189,6 +190,15 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
       the audio-reactivity metric the study scores — over raw (un-grad-
       normalised when ``norm_grads=False``, the comparison default)
       envelope/latent/noise predictions.
+    - ``lambda_amplitude`` (opt-in, default 0 = reference-faithful): both
+      objectives are scale-invariant, so a microscopic correlated wiggle
+      optimizes them exactly as well as a visible one — the diagnosed cause
+      of ssopt's 25x under-movement (docs/STUDY.md r4 §4; the reference's
+      variant shares the flaw, ssar/comparison.py:176-199).  This term adds
+      a squared relative error between the mean frame-to-frame latent step
+      and ``target_latent_step`` (default 0.048, the patch system's
+      measured step from the round-4 study), pinning the solution to a
+      VISIBLE motion amplitude without touching its correlation structure.
     """
     from ..gan.wrapper import StyleGAN2Mapper
 
@@ -308,9 +318,17 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
         nuc = jnp.sum(jnp.sqrt(jnp.clip(ev, 0.0) + 1e-24), axis=-1)  # (F,)
         return jnp.sum(f_w * (1.0 - nuc))
 
+    def amplitude_penalty(latents):
+        """Squared relative error of mean |Δlatent| vs target_latent_step.
+        Bounded gradient as step -> 0 (unlike a log ratio), symmetric push
+        toward the target from either side."""
+        step = jnp.mean(jnp.abs(jnp.diff(latents.reshape(n_frames, -1), axis=0)))
+        return ((step - target_latent_step) / target_latent_step) ** 2
+
     def loss_fn(p):
         envs = hippo.decode(p)
         latents, noise = decoder(envs, noise_bases)
+        amp = lambda_amplitude * amplitude_penalty(latents) if lambda_amplitude else 0.0
         if objective == "procrustes":
             preds = ([envs.reshape(n_frames, -1), latents.reshape(n_frames, -1)]
                      + [n.reshape(n_frames, -1) for n in noise])
@@ -321,7 +339,7 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
             loss = 0.0
             for pred in preds:
                 loss = loss + procrustes_bank_loss(pred)
-            return loss
+            return loss + amp
         predictions = ([normalize_gradients(envs, 1.0)]
                        + [normalize_gradients(latents, 10.0)]
                        + [normalize_gradients(n, 0.25) for n in noise])
@@ -340,7 +358,7 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
             for i in range(len(predictions)):
                 for j in range(i + 1, len(predictions)):
                     loss = loss + prediction_similarity_penalty * abscos(predictions[i], predictions[j])
-        return loss
+        return loss + amp
 
     # Fused multi-step driver: `log_steps` optimizer steps per device call
     # via lax.scan, ONE host loss-fetch per chunk.  The per-step python loop
@@ -365,6 +383,11 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
     it = 0
     while it < n_steps:
         k = min(log_steps, n_steps - it)
+        if render:
+            # never scan past an eval boundary: eval_steps need not be a
+            # multiple of log_steps, and `it % eval_steps == 0` below would
+            # silently miss renders otherwise (advisor r4)
+            k = min(k, eval_steps - it % eval_steps)
         params, opt_state, chunk_losses = run_chunk(params, opt_state, k)
         host_losses = np.asarray(chunk_losses)  # single host sync per chunk
         losses.append(float(host_losses[0]))  # loss at step `it`, same cadence as before

@@ -52,10 +52,13 @@ class RandomGenerator:
         self.mir_seconds: list = []
 
     def _mir(self, audio, sr):
+        import hashlib
         import time
 
         a = np.asarray(audio)
-        key = (a.shape, int(sr), a[:: max(1, a.size // 64)].tobytes())
+        # full-content digest: milliseconds vs the minutes-long MIR pass, and
+        # immune to distinct clips agreeing on a 64-sample subsample (advisor r4)
+        key = (a.shape, int(sr), hashlib.sha1(np.ascontiguousarray(a).tobytes()).hexdigest())
         if key not in self._mir_cache:
             from ..generate.mir import retrieve_music_information
 
@@ -111,10 +114,17 @@ class SelfSupervisedOptimization:
     WEIGHT_BOOSTS = {"onsets": 3.0, "rms": 10.0, "rosa_segmentation": 2.0, "drop_strength": 10.0}
 
     def __init__(self, fps: int = 24, n_steps: int = 512, gan_config=None, model_file=None,
-                 objective: str = "procrustes"):
+                 objective: str = "procrustes", lambda_amplitude: float = 0.0,
+                 target_latent_step: float = 0.048):
         self.fps, self.n_steps = fps, n_steps
         self.gan_config, self.model_file = gan_config, model_file
         self.objective = objective
+        # opt-in amplitude prior (generate/optimize.py docstring): the
+        # procrustes objective is scale-invariant, so without it ssopt
+        # under-moves by ~25x vs the patch system (docs/STUDY.md r4 §4)
+        self.lambda_amplitude = lambda_amplitude
+        self.target_latent_step = target_latent_step
+        self.log_steps = 16  # optimize()'s loss-sample stride (for curve axes)
         self.loss_curves: list = []  # one loss curve per predict() call
 
     def predict(self, audio, sr, palette=None, interp=None, n_params: int = 128,
@@ -130,7 +140,9 @@ class SelfSupervisedOptimization:
             model_file=self.model_file, render=False, palette=palette, interp=interp,
             emphasize_feature=emphasize_feature,
             use_audio_segmentation_features=use_audio_segmentation_features,
-            feature_weight_boosts=self.WEIGHT_BOOSTS)
+            feature_weight_boosts=self.WEIGHT_BOOSTS, log_steps=self.log_steps,
+            lambda_amplitude=self.lambda_amplitude,
+            target_latent_step=self.target_latent_step)
         self.loss_curves.append(losses)
         return latents, noise
 

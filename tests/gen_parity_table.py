@@ -27,8 +27,21 @@ def main(out_path: str = "docs/PARITY.md") -> None:
     from tests.test_parity_oracle import FEATURE_GROUPS, GROUP_TOL, SR, TRACKS
     from ssar_tpu.audio.features import audio2features
 
+    import datetime
+    import subprocess
+
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True).stdout.strip() or "unknown"
+    except OSError:
+        rev = "unknown"
+    stamp = datetime.date.today().isoformat()
+
     lines = [
         "# PARITY — frame-level parity vs the reference DSP semantics",
+        "",
+        f"Generated at rev `{rev}` on {stamp} (so a reader can tell which",
+        "implementation state this table validates).",
         "",
         "Per-feature abs-diff of the full 59-dim `audio2features` stack against",
         "`tests/oracle_dsp.py`, an independent pure-numpy port of the reference",
