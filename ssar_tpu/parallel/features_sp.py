@@ -44,36 +44,45 @@ from .mesh import get_mesh
 HALO_FRAMES = 64
 
 
+def _core(audio: jax.Array, sr: int, tuning: float):
+    """(Lc,) waveform chunk -> frame-local features + raw envelopes:
+    (local (Tc, 46), mel_bands (4, n_mels, Tc), rms (8, Tc)) where
+    local = [mfcc 20 | chroma 12 | tonnetz 6 | contrast 7 | flatness 1]."""
+    harm, perc = FT._stage_hp.__wrapped__(audio)
+    mf, contrast, flat = FT._stage_spectral.__wrapped__(audio, sr)
+    chroma, ton = FT._stage_chroma.__wrapped__(harm, sr, tuning)
+    local = jnp.concatenate([mf, chroma, ton, contrast, flat.reshape(-1, 1)], axis=1)
+
+    # raw onset-band mel power (percussive + low/mid/high) — dB'd globally
+    hp_band = high_pass(perc, sr)
+    bands = jnp.stack([perc, low_pass(perc, sr), low_pass(hp_band, sr), hp_band])
+    mel_bands = mel_power_multi(bands, sr)  # (4, n_mels, Tc)
+
+    # raw band RMS (harmonic x4, full x4) — drop-strength emphasis is global
+    hp_h = high_pass(harm, sr)
+    hp_a = high_pass(audio, sr)
+    rms_sigs = jnp.stack([
+        harm, low_pass(harm, sr), low_pass(hp_h, sr), hp_h,
+        audio, low_pass(audio, sr), low_pass(hp_a, sr), hp_a,
+    ])
+    rms = FT._rms_multi(rms_sigs)  # (8, Tc)
+    return local, mel_bands, rms
+
+
 @partial(jax.jit, static_argnames=("sr", "tuning"))
 def _chunk_core(chunks: jax.Array, sr: int, tuning: float):
-    """(N, Lc) waveform chunks -> frame-local features + raw envelopes.
+    """vmapped chunk core — the SHARDED pass 1 (chunk axis over the mesh)."""
+    return jax.vmap(lambda a: _core(a, sr, tuning))(chunks)
 
-    Returns (local (N, Tc, 46), mel_bands (N, 4, n_mels, Tc), rms (N, 8, Tc))
-    where local = [mfcc 20 | chroma 12 | tonnetz 6 | contrast 7 | flatness 1].
-    """
 
-    def core(audio):
-        harm, perc = FT._stage_hp.__wrapped__(audio)
-        mf, contrast, flat = FT._stage_spectral.__wrapped__(audio, sr)
-        chroma, ton = FT._stage_chroma.__wrapped__(harm, sr, tuning)
-        local = jnp.concatenate([mf, chroma, ton, contrast, flat.reshape(-1, 1)], axis=1)
-
-        # raw onset-band mel power (percussive + low/mid/high) — dB'd globally
-        hp_band = high_pass(perc, sr)
-        bands = jnp.stack([perc, low_pass(perc, sr), low_pass(hp_band, sr), hp_band])
-        mel_bands = mel_power_multi(bands, sr)  # (4, n_mels, Tc)
-
-        # raw band RMS (harmonic x4, full x4) — drop-strength emphasis is global
-        hp_h = high_pass(harm, sr)
-        hp_a = high_pass(audio, sr)
-        rms_sigs = jnp.stack([
-            harm, low_pass(harm, sr), low_pass(hp_h, sr), hp_h,
-            audio, low_pass(audio, sr), low_pass(hp_a, sr), hp_a,
-        ])
-        rms = FT._rms_multi(rms_sigs)  # (8, Tc)
-        return local, mel_bands, rms
-
-    return jax.vmap(core)(chunks)
+@partial(jax.jit, static_argnames=("sr", "tuning"))
+def _chunk_core_seq(chunks: jax.Array, sr: int, tuning: float):
+    """Sequential-in-one-program chunk core — the SINGLE-CHIP long-form
+    pass 1.  lax.map (not vmap): the Pallas sliding-median inside HPSS has
+    no batching rule for its ANY-memory-space operand, and a serial map
+    matches the fused whole-track program's own serial structure while
+    still amortising the per-dispatch tunnel round-trip across all chunks."""
+    return jax.lax.map(lambda a: _core(a, sr, tuning), chunks)
 
 
 def _chunk_plan(T: int, n_chunks: int, halo_frames: int = HALO_FRAMES):
@@ -129,17 +138,25 @@ def _assemble(local, mel_bands, rms, keep_off, fpc, T, sr, fps, clamp, smooth):
     return feats
 
 
-def audio2features_long(audio, sr: int, fps: int, chunk_frames: int = 960,
+def audio2features_long(audio, sr: int, fps: int, chunk_frames: int = 1440,
                         clamp: bool = True, smooth: bool = True,
                         tuning: float | None = None) -> jax.Array:
-    """Long-form single-chip variant of the two-pass pipeline: a host loop
-    over FIXED-size chunks through one compiled per-chunk program.
+    """Long-form single-chip variant of the two-pass pipeline: ALL chunks
+    batched through ONE vmapped per-chunk dispatch + one assembly dispatch.
 
-    The fused whole-track program re-specialises (and on very long tracks
-    overwhelms the remote compiler) per track length; here the compile cost
-    is paid once per (chunk_frames, sr) and reused for every chunk of every
-    track.  Semantics identical to audio2features_sharded (same pass-1 core
-    and pass-2 assembly).
+    The fused whole-track program re-specialises per track length and on
+    very long tracks overwhelms the remote compiler (docs/sp_scaling_tpu
+    r4 carried its 20-minute compile timeout as an error row); chunking
+    bounds the compiled program size.  Round-5 change: the chunks go
+    through `_chunk_core` as one (N, Lc) batch instead of N sequential
+    batch-1 dispatches — on the tunneled runtime each dispatch costs a
+    host round-trip, and the batch-1 programs underfill the chip (measured
+    127x -> 217x realtime on a 3-minute track at chunk=1440,
+    scripts/bench_sp.py / docs/sp_scaling_tpu.json).
+    Compile cost is per (n_chunks, fpc, sr) — shared by all tracks of the
+    same length bucket.  Semantics identical to audio2features_sharded
+    (same pass-1 core and pass-2 assembly; chunk windows clamped to the
+    track extent, so no padded samples ever enter the global statistics).
     """
     from ..audio.pitch import estimate_tuning
 
@@ -163,16 +180,8 @@ def audio2features_long(audio, sr: int, fps: int, chunk_frames: int = 960,
         tuning = estimate_tuning(FT.harmonic(track[: 4 * sr]), sr, bins_per_octave=36)
 
     Lc = cf * 1024
-    locals_, mels, rmss = [], [], []
-    for s0 in starts:
-        chunk = jax.lax.dynamic_slice(track, (s0 * 1024,), (Lc,))
-        lo, me, rm = _chunk_core(chunk[None], sr, float(tuning))
-        locals_.append(lo)
-        mels.append(me)
-        rmss.append(rm)
-    local = jnp.concatenate(locals_, axis=0)
-    mel_bands = jnp.concatenate(mels, axis=0)
-    rms = jnp.concatenate(rmss, axis=0)
+    chunks = jnp.stack([jax.lax.dynamic_slice(track, (s0 * 1024,), (Lc,)) for s0 in starts])
+    local, mel_bands, rms = _chunk_core_seq(chunks, sr, float(tuning))
     return _assemble(local, mel_bands, rms, keep, fpc, T, sr, fps, clamp, smooth)
 
 
