@@ -96,6 +96,13 @@ def load_npz(path: str) -> dict:
     import jax.numpy as jnp
 
     data = np.load(path)
+
+    def _arr(key):
+        a = data[key]
+        # f16 is a storage compression (half-size committable checkpoints);
+        # compute params are always f32
+        return jnp.asarray(a.astype(np.float32) if a.dtype == np.float16 else a)
+
     params: dict = {}
     for key in data.files:
         parts = key.split("/")
@@ -115,9 +122,9 @@ def load_npz(path: str) -> dict:
             last = int(last)
             while len(node) <= last:
                 node.append(None)
-            node[last] = jnp.asarray(data[key])
+            node[last] = _arr(key)
         else:
-            node[last] = jnp.asarray(data[key])
+            node[last] = _arr(key)
     return params
 
 

@@ -45,6 +45,11 @@ class StyleGAN2Config:
     channel_multiplier: int = 2
     blur_kernel: tuple = (1, 3, 3, 1)
     lr_mlp: float = 0.01
+    # optional width cap (lane-friendly multiples of 128 recommended): the
+    # in-environment calibration G (scripts/train_calibration_g.py) trains a
+    # narrowed generator so its checkpoint-of-record is committable; 512
+    # reproduces the reference channel table exactly
+    max_channels: int = 512
 
     @property
     def log_size(self) -> int:
@@ -62,10 +67,11 @@ class StyleGAN2Config:
 
     def channels(self) -> dict[int, int]:
         cm = self.channel_multiplier
-        return {
+        full = {
             4: 512, 8: 512, 16: 512, 32: 512,
             64: 256 * cm, 128: 128 * cm, 256: 64 * cm, 512: 32 * cm, 1024: 16 * cm,
         }
+        return {k: min(v, self.max_channels) for k, v in full.items()}
 
     def noise_shapes(self) -> list[tuple[int, int]]:
         shapes = [(4, 4)]
