@@ -108,6 +108,8 @@ def _kmeans_pp_init_jax(data: jax.Array, k: int) -> jax.Array:
 
 def differentiable_k_means(data: jax.Array, k: int, num_iter: int = 100, cluster_temp: float = 5.0):
     """Soft k-means on the unit sphere (segment.py:108-130)."""
+    from ..utils.platform import host_eager
+
     data = data / (jnp.linalg.norm(data, axis=1, keepdims=True) + 1e-12)
     mu0 = _kmeans_pp_init_jax(jax.lax.stop_gradient(data), k)
 
@@ -118,7 +120,15 @@ def differentiable_k_means(data: jax.Array, k: int, num_iter: int = 100, cluster
         cluster_mean = r.T @ data
         return cluster_mean / (cluster_r[:, None] + 1e-12), None
 
-    mu, _ = jax.lax.scan(body, mu0, None, length=num_iter)
+    if host_eager():
+        # eager python loop on the host backend: segmentation shapes differ
+        # per clip, and compiling a fresh 100-iter fused scan per (n, k)
+        # costs seconds where the loop's tiny eager matmuls cost ms
+        mu = mu0
+        for _ in range(num_iter):
+            mu, _ = body(mu, None)
+    else:
+        mu, _ = jax.lax.scan(body, mu0, None, length=num_iter)
     dist = data @ mu.T
     r = jax.nn.softmax(cluster_temp * dist, axis=1)
     return mu, r, dist
@@ -194,7 +204,13 @@ def laplacian_segmentation_rosa(audio: np.ndarray, sr: float, out_size: int,
     _, beats = beat_track(env, sr=sr, hop_length=1024)
     beats = [int(b) for b in beats if 0 < b < C.shape[1]]
 
-    segs = laplacian_segmentation(C.T, beats, ks=ks)
+    # heavy DSP (CQT) above stays on the accelerator; the tiny beat-sync
+    # graph math runs on the host backend (see generate/mir.py rationale)
+    from ..utils.platform import host_compute
+
+    Ct = np.asarray(C.T)
+    with host_compute():
+        segs = laplacian_segmentation(jnp_.asarray(Ct), beats, ks=ks)
     out = np.stack([np.asarray(jnp_.argmax(s, axis=1)) for s in segs], axis=1)
     src = np.clip((np.arange(out_size) * out.shape[0]) // out_size, 0, out.shape[0] - 1)
     return out[src]

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("k", "axis", "mode"))
 def median_filter(x: jax.Array, k: int, axis: int = -1, mode: str = "reflect") -> jax.Array:
     """Sliding-window median of odd width `k` along `axis` with padding.
 
@@ -25,13 +24,30 @@ def median_filter(x: jax.Array, k: int, axis: int = -1, mode: str = "reflect") -
     sliding-median kernel (ops/median_pallas.py) — one HBM pass + a VPU
     sorting network instead of materialising a (.., k) window tensor for
     XLA's generic sort.  Exact same results.
+
+    Inside host_compute() the jit wrapper is skipped: per-clip segmentation
+    shapes never repeat, so a fresh XLA:CPU jit compile per call costs far
+    more than the eager jnp window median.
     """
+    from ..utils.platform import host_eager
+
+    if host_eager():
+        return _median_filter_body(x, k, axis, mode)
+    return _median_filter_jit(x, k, axis, mode)
+
+
+@partial(jax.jit, static_argnames=("k", "axis", "mode"))
+def _median_filter_jit(x: jax.Array, k: int, axis: int = -1, mode: str = "reflect") -> jax.Array:
+    return _median_filter_body(x, k, axis, mode)
+
+
+def _median_filter_body(x: jax.Array, k: int, axis: int, mode: str) -> jax.Array:
     assert k % 2 == 1, "median_filter expects odd window size"
     axis = axis % x.ndim
 
-    from ..utils.platform import on_tpu
+    from ..utils.platform import use_pallas
 
-    if on_tpu() and x.ndim == 2 and mode == "reflect" and k >= 7:
+    if use_pallas() and x.ndim == 2 and mode == "reflect" and k >= 7:
         from .median_pallas import sliding_median_lastaxis
 
         if axis == x.ndim - 1:
