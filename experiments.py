@@ -44,6 +44,21 @@ GRIDS = {
         "batch_size": [32],
         "_extra": {"cache_dir": "data/record/cache", "render_size": 256},
     },
+    # the reference's ACTUAL supervised record config (experiments.sh:4-5:
+    # fixed decoder, hidden 3) — VERDICT r4 item 5.  hidden 3 also removes
+    # most of the val heavy-tail: only 3 envelope terms per window can land
+    # near zero in the unguarded env/env.sum (docs/GRID.md)
+    "record_h3": {
+        "backbone": ["gru"],
+        "decoder": ["fixed"],
+        "loss": ["supervised"],
+        "hidden_size": [3],
+        "num_layers": [4],
+        "n_examples": [128_000],
+        "lr": [1e-4],
+        "batch_size": [32],
+        "_extra": {"cache_dir": "data/record/cache", "render_size": 256},
+    },
     "smoke": {
         "backbone": ["gru", "mlp"],
         "decoder": ["learned"],
@@ -78,8 +93,12 @@ def run_grid(name: str, out_dir: str = "runs/experiments"):
                  "--ckpt_every", str(cfg["n_examples"])]
         try:
             log_dir, val_loss = train_main(argv)
-            results.append({**cfg, "val_loss": val_loss, "seconds": time.time() - t0,
-                            "log_dir": str(log_dir)})
+            row = {**cfg, "val_loss": val_loss, "seconds": time.time() - t0,
+                   "log_dir": str(log_dir)}
+            final = Path(log_dir) / "final_metrics.json"
+            if final.exists():  # robust median statistic (docs/GRID.md)
+                row.update(json.loads(final.read_text()))
+            results.append(row)
         except Exception as e:
             results.append({**cfg, "error": str(e)[:200]})
         (out / f"{name}_results.json").write_text(json.dumps(results, indent=2))

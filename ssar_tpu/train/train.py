@@ -426,6 +426,7 @@ def main(argv=None):
 
     t0 = time.time()
     val_loss = float("nan")
+    val_loss_median = float("nan")
     it = start_it
     while it < args.n_examples:
         if device_data is not None:
@@ -454,12 +455,13 @@ def main(argv=None):
 
         if it % args.eval_every == 0:
             losses = flush_pending()
-            vl, vmse, n = 0.0, 0.0, 0
+            vmse, n = 0.0, 0
+            vbatch_losses: list[float] = []
             lat_samples, fake_seqs = [], []
             for vbatch in val_ds.batches(args.batch_size, shuffle=False, loop=False):
                 mode_l, mse_l, lsamp, fseq = eval_step(
                     params, tuple(jnp.asarray(b) for b in vbatch), key)
-                vl += float(mode_l)
+                vbatch_losses.append(float(mode_l))
                 vmse += float(mse_l)
                 lat_samples.append(np.asarray(lsamp))
                 if fcd_encode is not None and n * args.batch_size < 64:
@@ -467,8 +469,12 @@ def main(argv=None):
                 n += 1
                 if n * args.batch_size >= len(val_ds):
                     break
-            val_loss = vl / max(n, 1)
+            val_loss = float(np.mean(vbatch_losses)) if vbatch_losses else float("nan")
+            # the supervised loss's unguarded env/env.sum makes per-batch val
+            # heavy-tailed (docs/GRID.md); the median is the robust statistic
+            val_loss_median = float(np.median(vbatch_losses)) if vbatch_losses else float("nan")
             writer.scalar("Loss/val", val_loss, it)
+            writer.scalar("Loss/val_median", val_loss_median, it)
             writer.scalar("Loss/val_mse", vmse / max(n, 1), it)
             # Laplace-b of predicted latents (train_a2l.py:299-300)
             writer.scalar("Eval/laplace_b", _laplace_b(np.concatenate(lat_samples)), it)
@@ -532,7 +538,12 @@ def main(argv=None):
             print(f"final checkpoint render: {out}")
         except Exception as e:
             print(f"final checkpoint render skipped: {e}")
-    print(f"done: val_loss {val_loss:.4f}, checkpoints in {log_dir}/ckpt")
+    import json as _json
+
+    (log_dir / "final_metrics.json").write_text(_json.dumps(
+        {"val_loss": val_loss, "val_loss_median": val_loss_median}))
+    print(f"done: val_loss {val_loss:.4f} (median {val_loss_median:.4f}), "
+          f"checkpoints in {log_dir}/ckpt")
     return log_dir, val_loss
 
 
