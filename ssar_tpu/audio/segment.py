@@ -184,6 +184,107 @@ def laplacian_segmentation(envelope: jax.Array, beats, ks=(2, 4, 6, 8, 12, 16)):
     return segmentations
 
 
+def _np_median_filter(x: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Sliding median along `axis`, np.pad 'reflect' semantics (matches the
+    jnp median_filter exactly for odd k)."""
+    p = k // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (p, p)
+    xp = np.pad(x, pad, mode="reflect")
+    windows = np.stack([np.take(xp, np.arange(i, i + x.shape[axis]), axis=axis)
+                        for i in range(k)], axis=-1)
+    return np.median(windows, axis=-1)
+
+
+def laplacian_segmentation_np(envelope: np.ndarray, beats, ks=(2, 4, 6, 8, 12, 16)):
+    """Pure-numpy host implementation of :func:`laplacian_segmentation` —
+    same algorithm, same fixed RandomState(42+i) k-means++ draws, float64.
+
+    Why it exists: the MIR retrieval path runs segmentation ONCE per clip
+    with a clip-specific beat count, so every jnp formulation pays fresh
+    per-shape compiles (remote-TPU: 269 s cold; XLA:CPU eager: ~15 s) for
+    matrices of tens of rows.  The reference runs this host-side too
+    (ssar/features/rosa/segment.py via scipy).  The differentiable jnp
+    version remains the traced path for in-graph uses
+    (generate/optimize.py lambda_lap).  Parity: tests/test_palette_g.py
+    asserts label agreement with the jnp version.
+    """
+    envelope = np.asarray(envelope, np.float64)
+    T = envelope.shape[0]
+    bounds = [0] + [int(b) for b in beats] + [T]
+    Csync = np.stack([
+        np.median(envelope[b1:b2] if b2 > b1 else envelope[b1:b1 + 1], axis=0)
+        for b1, b2 in zip(bounds[:-1], bounds[1:])
+    ])
+
+    t = Csync.shape[0]
+    data = Csync.reshape(t, -1)
+    width = 3
+    k_nn = 2 * int(np.ceil(np.sqrt(t - 2 * width + 1))) if t > 2 * width + 1 else 2
+    k_nn = int(min(k_nn, t - 1))
+
+    d = np.abs(data[:, None, :] - data[None, :, :]) ** 2.0
+    rec = (d.sum(axis=2) + 1e-8) ** 0.5
+    idx = np.arange(t)
+    band = np.abs(idx[:, None] - idx[None, :]) < width
+    rec[band] = 0.0
+    rec = rec + (rec == 0) * 1e20
+    # keep only the k smallest links per column
+    keep = np.zeros_like(rec)
+    order = np.argsort(rec.T, axis=1)[:, :k_nn]
+    keep.T[np.arange(t)[:, None], order] = rec.T[np.arange(t)[:, None], order]
+    rec = keep
+    rec = np.minimum(rec, rec.T)  # sym=True
+    bandwidth = np.median(np.max(rec, axis=1))
+    rec = rec * (rec >= 0)
+    rec = np.exp(rec / (-1.0 * bandwidth - 1e-12))
+    rec = rec * (rec < 1)
+
+    # time-lag median filter via shear -> horizontal median -> unshear
+    rec_p = np.pad(rec, ((0, t), (0, 0)))
+    lag = np.stack([np.roll(rec_p[:, i], -i) for i in range(rec_p.shape[1])], axis=1)
+    lag = _np_median_filter(lag, 7, axis=1)
+    Rf = np.stack([np.roll(lag[:, i], i) for i in range(lag.shape[1])], axis=1)[:t]
+
+    path_distance = np.sum(np.diff(Csync, axis=0) ** 2, axis=1)
+    sigma = np.median(path_distance)
+    path_sim = np.exp(-path_distance / (sigma + 1e-12))
+    R_path = np.diag(path_sim, k=1) + np.diag(path_sim, k=-1)
+
+    deg_path = R_path.sum(axis=1)
+    deg_rec = Rf.sum(axis=1)
+    mu = deg_path.dot(deg_path + deg_rec) / (np.sum((deg_path + deg_rec) ** 2) + 1e-12)
+    A = mu * Rf + (1 - mu) * R_path
+    deg = A.sum(axis=1)
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    L = np.eye(t) - dinv[:, None] * A * dinv[None, :]
+    _, evecs = np.linalg.eigh(L)
+
+    evecs = _np_median_filter(evecs.T, 9, axis=1).T
+    Cnorm = np.cumsum(evecs**2, axis=1) ** 0.5
+
+    def softmax(x, axis):
+        e = np.exp(x - x.max(axis=axis, keepdims=True))
+        return e / e.sum(axis=axis, keepdims=True)
+
+    segmentations = []
+    src = np.clip((np.arange(T) * t) // T, 0, t - 1)
+    for k in ks:
+        ke = min(k, t)
+        X = evecs[:, :ke] / (Cnorm[:, ke - 1 : ke] + 1e-12)
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        mu_c = _kmeans_pp_init(Xn, ke)
+        for _ in range(100):
+            r = softmax(5.0 * (Xn @ mu_c.T), axis=1)
+            cluster_r = r.sum(axis=0)
+            mu_c = (r.T @ Xn) / (cluster_r[:, None] + 1e-12)
+        seg = softmax(5.0 * (Xn @ mu_c.T), axis=1)
+        if ke < k:
+            seg = np.pad(seg, ((0, 0), (0, k - ke)))
+        segmentations.append(seg[src])
+    return segmentations
+
+
 def laplacian_segmentation_rosa(audio: np.ndarray, sr: float, out_size: int,
                                 ks=(2, 4, 6, 8, 16)) -> np.ndarray:
     """CQT-based segmentation with hard labels — the reference's second
@@ -205,12 +306,8 @@ def laplacian_segmentation_rosa(audio: np.ndarray, sr: float, out_size: int,
     beats = [int(b) for b in beats if 0 < b < C.shape[1]]
 
     # heavy DSP (CQT) above stays on the accelerator; the tiny beat-sync
-    # graph math runs on the host backend (see generate/mir.py rationale)
-    from ..utils.platform import host_compute
-
-    Ct = np.asarray(C.T)
-    with host_compute():
-        segs = laplacian_segmentation(jnp_.asarray(Ct), beats, ks=ks)
-    out = np.stack([np.asarray(jnp_.argmax(s, axis=1)) for s in segs], axis=1)
+    # graph math runs host-side in numpy (see generate/mir.py rationale)
+    segs = laplacian_segmentation_np(np.asarray(C.T), beats, ks=ks)
+    out = np.stack([np.argmax(s, axis=1) for s in segs], axis=1)
     src = np.clip((np.arange(out_size) * out.shape[0]) // out_size, 0, out.shape[0] - 1)
     return out[src]

@@ -45,22 +45,21 @@ def retrieve_music_information(audio, sr: int, ks=(2, 4, 6, 8, 12, 16), include_
     _, beats = beat_track(onset_env, sr=sr, hop_length=1024, bpm=tempo, trim=False)
     beats = [int(b) for b in beats if b > 0]
 
-    # Segmentation runs on the HOST CPU backend (utils/platform.host_compute):
-    # the matrices are tiny (n_beats^2 ~ 50x50) but every clip has a
-    # different beat count, so on the tunneled TPU runtime the eager op
-    # stream pays per-shape sub-threshold compiles on EVERY clip — measured
-    # 269 s cold / 1.8 s warm per feature on TPU vs milliseconds on host.
-    # This was the dominant term in the study's 48 s/clip patch+MIR cost
-    # (VERDICT r4 item 6).
-    from ..utils.platform import host_compute
+    # Segmentation runs HOST-SIDE in numpy (audio/segment.py
+    # laplacian_segmentation_np): the matrices are tiny (n_beats^2 ~ 50x50)
+    # but every clip has a different beat count, so any jnp formulation
+    # pays fresh per-shape compiles on EVERY clip — measured 269 s cold /
+    # 1.8 s warm per feature on the tunneled TPU, ~15 s per fresh shape on
+    # XLA:CPU, vs milliseconds in numpy.  This was the dominant term in the
+    # study's 48 s/clip patch+MIR cost (VERDICT r4 item 6).  The
+    # differentiable jnp version remains the in-graph path (optimize.py).
+    from ..audio.segment import laplacian_segmentation_np
 
     segmentations = {}
-    host_feats = {name: np.asarray(f) for name, f in features.items()}
-    with host_compute():
-        for name, feature in host_feats.items():
-            segs = laplacian_segmentation(jnp.asarray(feature), beats, ks=ks)
-            for k, s in zip(ks, segs):
-                segmentations[(name, k)] = jnp.argmax(s, axis=1)
+    for name, feature in features.items():
+        segs = laplacian_segmentation_np(np.asarray(feature), beats, ks=ks)
+        for k, s in zip(ks, segs):
+            segmentations[(name, k)] = jnp.asarray(np.argmax(s, axis=1))
     if include_rosa:
         n_frames = features[AFEATFNS[0].__name__].shape[0]
         rosa_ks = [k for k in ks]

@@ -115,3 +115,32 @@ def test_optimize_amplitude_prior_increases_latent_step():
     # 16 steps only partially closes on the 0.048 target (measured 0.016 at
     # this tiny config); direction and magnitude-vs-baseline are the test
     assert steps[100.0] > 0.012
+
+
+def test_laplacian_segmentation_np_matches_jnp():
+    """The host numpy segmentation (MIR path) agrees with the traced jnp
+    version: identical shapes, labels agree on the overwhelming majority of
+    frames (float-path differences only flip near-boundary beats)."""
+    from ssar_tpu.audio.segment import laplacian_segmentation, laplacian_segmentation_np
+
+    rng = np.random.RandomState(0)
+    T, C = 240, 12
+    env = np.repeat(rng.rand(6, C), 40, axis=0) + 0.05 * rng.rand(T, C)  # sectioned
+    beats = list(range(7, T, 8))
+    ks = (2, 4, 6)
+    segs_np = laplacian_segmentation_np(env.astype(np.float32), beats, ks=ks)
+    segs_j = laplacian_segmentation(jnp.asarray(env, jnp.float32), beats, ks=ks)
+    from scipy.optimize import linear_sum_assignment
+
+    for s_np, s_j, k in zip(segs_np, segs_j, ks):
+        assert s_np.shape == (T, k) and s_j.shape == (T, k)
+        a = np.argmax(s_np, 1)
+        b = np.asarray(jnp.argmax(s_j, 1))
+        # k-means labelings are defined up to permutation (different float
+        # paths converge to relabeled clusterings); align by max-overlap
+        conf = np.zeros((k, k))
+        for i, j in zip(a, b):
+            conf[i, j] += 1
+        rows, cols = linear_sum_assignment(-conf)
+        agree = conf[rows, cols].sum() / len(a)
+        assert agree > 0.85, f"k={k}: only {agree:.2%} label agreement after alignment"
