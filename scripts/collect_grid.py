@@ -83,15 +83,21 @@ def main():
     grid_dir.mkdir(parents=True, exist_ok=True)
 
     results = json.loads((runs / "record_results.json").read_text())
+    h3_path = runs / "record_h3_results.json"
+    if h3_path.exists():  # the reference's actual supervised record config
+        results = results + json.loads(h3_path.read_text())
     cells = {}
     for cell in sorted(runs.glob("backbone-*")):
         run = latest_run(cell)
         if run is None:
             continue
         loss = [p for p in cell.name.split("_") if p.startswith("loss-")][0][5:]
-        cells[loss] = run
-        for pat, dst in [("diagnostics_*.png", f"diagnostics_{loss}.png"),
-                         ("sample_*.mp4", f"sample_{loss}.mp4")]:
+        hidden = [p for p in cell.name.split("_") if p.startswith("size-")]
+        h = hidden[0][5:] if hidden else "32"
+        key = loss if h == "32" else f"{loss}-h{h}"
+        cells[key] = run
+        for pat, dst in [("diagnostics_*.png", f"diagnostics_{key}.png"),
+                         ("sample_*.mp4", f"sample_{key}.mp4")]:
             files = sorted(run.glob(pat))
             if files:
                 shutil.copy(files[-1], grid_dir / dst)
@@ -99,15 +105,17 @@ def main():
     shutil.copy(runs / "record_results.csv", grid_dir / "record_results.csv")
     loss_curves_figure(cells, grid_dir / "loss_curves.png")
 
-    rows = ["| loss mode | hidden | layers | examples | final val loss | wall-clock (s) | run |",
-            "|---|---|---|---|---|---|---|"]
+    rows = ["| loss mode | hidden | layers | examples | final val loss (mean) | val (median) | wall-clock (s) | run |",
+            "|---|---|---|---|---|---|---|---|"]
     for r in results:
         if "error" in r:
             rows.append(f"| {r['loss']} | {r['hidden_size']} | {r['num_layers']} | "
-                        f"{r['n_examples']} | ERROR | — | {r.get('error', '')[:60]} |")
+                        f"{r['n_examples']} | ERROR | — | — | {r.get('error', '')[:60]} |")
             continue
+        med = r.get("val_loss_median")
+        med_s = f"{med:.4g}" if isinstance(med, (int, float)) else "—"
         rows.append(f"| {r['loss']} | {r['hidden_size']} | {r['num_layers']} | "
-                    f"{r['n_examples']} | {r['val_loss']:.4g} | {r['seconds']:.0f} | "
+                    f"{r['n_examples']} | {r['val_loss']:.4g} | {med_s} | {r['seconds']:.0f} | "
                     f"`{Path(r['log_dir']).name}` |")
 
     md = f"""# Training runs of record (record grid)
@@ -147,10 +155,12 @@ over a ~5 floor, see the loss-curve figure): the same unguarded
 normalisation makes the EVALUATION itself heavy-tailed — a val batch whose
 predicted envelopes sum near zero scores a huge MSE even under a
 well-trained model, and hidden_size 32 gives 3 chances per window for a
-32-term sum to land near zero.  (The reference's own fixed-decoder runs of
-record use hidden_size 3; experiments.sh:4-5.)  The committed final val
-loss is therefore a noisy upper bound; the curve, the diagnostics image and
-the rendered sample are the stability evidence.
+32-term sum to land near zero.  Round 5 addresses this two ways
+(VERDICT r4 item 5): the table reports the robust MEDIAN val loss next to
+the mean (train.py logs `Loss/val_median`), and the `record_h3` grid adds
+the reference's ACTUAL supervised record config — fixed decoder at
+hidden_size 3 (experiments.sh:4-5) — whose 3-term envelope sums rarely
+land near zero, so its val number needs no caveat.
 """
     (out / "GRID.md").write_text(md)
     print(f"wrote {out / 'GRID.md'} + {grid_dir}")
