@@ -96,19 +96,24 @@ def diagnosis_section(rows: list[dict], calibration: dict | None) -> list[str]:
         so, sa = by["ssopt"], by["ssopt_amp"]
         rp_step = by.get("random_patch", {}).get("lat_step", float("nan"))
         lines += [
-            "**2. The amplitude prior fixes ssopt's diagnosed under-movement.**",
-            "The procrustes objective is scale-invariant, so plain ssopt",
-            f"converges to microscopic steps ({so['lat_step']:.4f}/frame,",
+            "**2. The amplitude prior fixes ssopt's under-MOVEMENT; the",
+            "battery score itself stays within noise.**  The procrustes",
+            "objective is scale-invariant, so plain ssopt converges to",
+            f"microscopic steps ({so['lat_step']:.4f}/frame,",
             f"{rp_step / max(so['lat_step'], 1e-9):.0f}x below the patch system's"
             f" {rp_step:.4f}; r4 diagnosis §4; the reference's variant shares",
-            "the flaw, ssar/comparison.py:176-199).  `ssopt_amp` adds the",
-            "opt-in motion-amplitude term (generate/optimize.py",
-            f"lambda_amplitude): latent step {sa['lat_step']:.4f}/frame and",
-            f"video correlation {sa['median']:.3f} vs plain ssopt's",
-            f"{so['median']:.3f} "
-            f"({'+' if sa['median'] >= so['median'] else ''}"
-            f"{sa['median'] - so['median']:.3f}), defaults unchanged for",
-            "reference faithfulness.",
+            "the flaw, ssar/comparison.py:176-199).  `ssopt_amp`",
+            "(generate/optimize.py lambda_amplitude, opt-in, defaults",
+            f"unchanged) restores visible motion — latent step",
+            f"{sa['lat_step']:.4f}/frame, pixel step {sa['pix_step']:.4f}",
+            f"(~the patch system's {by.get('random_patch', {}).get('pix_step', float('nan')):.4f}) —",
+            f"and lifts latent correlation {so['latent']:.3f} ->",
+            f"{sa['latent']:.3f}.  The battery video score is flat",
+            f"({sa['mean']:.3f} vs {so['mean']:.3f} mean, std ~{so['std']:.2f}):",
+            "amplitude was the bottleneck for VISIBILITY, not for this",
+            "scorer — ssopt's remaining gap to random_patch is channel mix",
+            "(its optimum leans on palette-side pairs; see its top pairs),",
+            "not step size.",
             "",
         ]
 
@@ -116,12 +121,14 @@ def diagnosis_section(rows: list[dict], calibration: dict | None) -> list[str]:
         rp, lb = by["random_patch"], by["lucid_baseline"]
         gap = rp["latent"] / max(rp["median"], 1e-9)
         lines += [
-            "**3. The render gap narrowed but remains.**  random_patch carries",
-            f"latent-space correlation {rp['latent']:.3f} against a video score",
-            f"of {rp['median']:.3f} ({gap:.1f}x gap; 2.4x in round 4): palette",
-            "structure now survives rendering in the chroma pairs, while the",
-            "battery's motion-side features still favour the onset channel the",
-            f"lucid recipe ({lb['median']:.3f}) drives exclusively.",
+            "**3. The render gap persists at the battery level.**  random_patch",
+            f"carries latent-space correlation {rp['latent']:.3f} against a video",
+            f"score of {rp['median']:.3f} ({gap:.1f}x gap — unchanged from round",
+            "4's 2.4x): palette structure now survives rendering in the chroma",
+            "pairs (calibration #1), but the battery's motion-side features",
+            "still favour the onset channel the lucid recipe",
+            f"({lb['median']:.3f}) drives exclusively, and that bound does not",
+            "move by making the render channel transmit.",
             "",
         ]
 
