@@ -53,7 +53,7 @@ def build_step(resolution: int, batch: int):
 
 def parse_xplane(trace_dir: str) -> dict:
     """Extract per-op self times from the captured xplane protos."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
     if not paths:
@@ -61,16 +61,18 @@ def parse_xplane(trace_dir: str) -> dict:
     xspace = xplane_pb2.XSpace()
     xspace.ParseFromString(Path(paths[-1]).read_bytes())
 
-    ops = defaultdict(float)  # op name -> total self duration (us)
+    ops = defaultdict(float)  # op name -> total duration (us)
     device_total = 0.0
     for plane in xspace.planes:
-        name = plane.name.lower()
-        if "tpu" not in name and "device" not in name and "xla" not in name:
+        if "tpu" not in plane.name.lower():
             continue
         for line in plane.lines:
-            lname = line.name.lower()
-            # XLA op lines carry the per-HLO activity; skip host threads
-            if "step" in lname or "module" in lname:
+            # ONLY the synchronous op timeline: 'Async XLA Ops' spans
+            # (DMA copy-start..done) OVERLAP compute and triple-count the
+            # step; 'XLA Ops' sums exactly to the wall step time
+            # (validated: 1353.9 ms / 8 iters = 169 ms/step = the bench's
+            # measured 281 fps at batch 48)
+            if line.name != "XLA Ops":
                 continue
             for event in line.events:
                 meta = plane.event_metadata[event.metadata_id]
@@ -80,19 +82,20 @@ def parse_xplane(trace_dir: str) -> dict:
     return {"ops": dict(ops), "device_total_us": device_total, "file": paths[-1]}
 
 
-CATEGORIES = (
-    ("conv", ("conv", "dot", "matmul")),
-    ("copy/transpose", ("copy", "transpose", "bitcast", "reshape", "slice", "concatenate")),
-    ("fusion", ("fusion",)),
-    ("dynamic-update", ("dynamic",)),
-)
-
-
 def categorize(name: str) -> str:
-    low = name.lower()
-    for cat, keys in CATEGORIES:
-        if any(k in low for k in keys):
-            return cat
+    """Classify by the HLO op PREFIX (before ' = '): operand names inside a
+    fusion's argument list must not leak into the category."""
+    head = name.split(" = ")[0].lower()
+    if "copy" in head:
+        return "layout copy"
+    if "fusion" in head:
+        return "fused compute (convs + elementwise)"
+    if "convolution" in head or "dot" in head:
+        return "conv/dot"
+    if "broadcast" in head:
+        return "materialized broadcast"
+    if "transpose" in head or "bitcast" in head or "reshape" in head:
+        return "transpose/reshape"
     return "other"
 
 

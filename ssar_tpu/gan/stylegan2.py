@@ -449,7 +449,8 @@ def prepare_synthesis(params: dict, config: StyleGAN2Config, dtype=jnp.float32) 
 def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
               config: StyleGAN2Config, *, dtype=jnp.float32, output_size: int | None = None,
               return_features: bool = False, bends: dict | None = None,
-              bend_mods: dict | None = None, prep: dict | None = None):
+              bend_mods: dict | None = None, prep: dict | None = None,
+              s2d: bool = True):
     """W+ latents (B, n_latent, 512) [+ noises list of (B, H, W, 1)] -> images
     (B, R, R, 3) in [-1, 1] (unclamped).
 
@@ -504,7 +505,7 @@ def synthesis(params: dict, latents: jax.Array, noises: list[jax.Array] | None,
     for level, (conv_up, conv) in enumerate(zip(params["convs"][::2], params["convs"][1::2])):
         res = 2 ** (level + 3)
         out_ch = conv["weight"].shape[-1]
-        if res == target_res and res >= 8 and out_ch < 128 and not return_features \
+        if s2d and res == target_res and res >= 8 and out_ch < 128 and not return_features \
                 and not bends:  # bends may change spatial shapes; take the plain path
             # FINAL level in space-to-depth form: low channel counts at high
             # resolution otherwise lane-pad every pass (gan/s2d.py).
