@@ -71,3 +71,15 @@ def supervised_loss(pred_latents, pred_noise, latents, noise_targets) -> jax.Arr
     for p, t in zip(pred_noise, noise_targets):
         loss = loss + jnp.mean((p - t) ** 2)
     return loss
+
+
+def supervised_loss_per_example(pred_latents, pred_noise, latents, noise_targets) -> jax.Array:
+    """Per-window (B,) variant of :func:`supervised_loss` — the val loop
+    medians over WINDOWS (the val split is ~1 batch, so a batch-level
+    median is the mean; the env/env.sum heavy tail lives at window
+    granularity, docs/GRID.md)."""
+    axes = tuple(range(1, pred_latents.ndim))
+    loss = jnp.mean((pred_latents - latents) ** 2, axis=axes)
+    for p, t in zip(pred_noise, noise_targets):
+        loss = loss + jnp.mean((p - t) ** 2, axis=tuple(range(1, p.ndim)))
+    return loss

@@ -119,17 +119,22 @@ def make_train_step(model, optimizer, loss_mode: str):
         mode-independent diagnostic, a strided flat sample of the predicted
         latents for the host-side Laplace-b fit (train_a2l.py:299-300), and
         the flattened prediction sequence for FCD."""
+        from .losses import supervised_loss_per_example
+
         inputs, latents, n4, n8, n16, n32 = batch
         preds_lat, preds_noise = model.apply(params, inputs, rngs={"noise": key})
         mse = supervised_loss(preds_lat, preds_noise, latents, [n4, n8, n16, n32])
+        # mode_loss is PER-WINDOW (B,): the host medians over windows — the
+        # val split is ~one batch, so a batch-level median is just the mean
         if loss_mode == "supervised":
-            mode_loss = mse
+            mode_loss = supervised_loss_per_example(preds_lat, preds_noise, latents,
+                                                    [n4, n8, n16, n32])
         elif loss_mode == "selfsupervised":
             preds = [preds_lat] + list(preds_noise)
-            mode_loss = jnp.mean(audio_reactive_loss(preds, [inputs]))
+            mode_loss = audio_reactive_loss(preds, [inputs])
         else:  # ssabsdiff
             preds = [batch_absdiff(p)[..., None] for p in [preds_lat] + list(preds_noise)]
-            mode_loss = jnp.mean(audio_reactive_loss(preds, [inputs]))
+            mode_loss = audio_reactive_loss(preds, [inputs])
         flat = preds_lat.reshape(-1)
         stride = max(1, flat.shape[0] // 8192)
         lat_sample = flat[::stride][:8192]
@@ -461,7 +466,7 @@ def main(argv=None):
             for vbatch in val_ds.batches(args.batch_size, shuffle=False, loop=False):
                 mode_l, mse_l, lsamp, fseq = eval_step(
                     params, tuple(jnp.asarray(b) for b in vbatch), key)
-                vbatch_losses.append(float(mode_l))
+                vbatch_losses.extend(np.asarray(mode_l).ravel().tolist())
                 vmse += float(mse_l)
                 lat_samples.append(np.asarray(lsamp))
                 if fcd_encode is not None and n * args.batch_size < 64:
@@ -470,8 +475,8 @@ def main(argv=None):
                 if n * args.batch_size >= len(val_ds):
                     break
             val_loss = float(np.mean(vbatch_losses)) if vbatch_losses else float("nan")
-            # the supervised loss's unguarded env/env.sum makes per-batch val
-            # heavy-tailed (docs/GRID.md); the median is the robust statistic
+            # the supervised loss's unguarded env/env.sum makes per-WINDOW val
+            # heavy-tailed (docs/GRID.md); the window median is the robust stat
             val_loss_median = float(np.median(vbatch_losses)) if vbatch_losses else float("nan")
             writer.scalar("Loss/val", val_loss, it)
             writer.scalar("Loss/val_median", val_loss_median, it)
