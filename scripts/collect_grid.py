@@ -150,17 +150,28 @@ reference's exact optimizer.  The grid above IS the post-fix re-run: no
 cell collapses, and the selfsupervised/ssabsdiff cells also end lower than
 the bare-Adam round-3 runs (0.078 vs 0.527; 0.68 vs 0.81).
 
-The supervised VAL trajectory remains spiky (occasional 1e2-1e3 excursions
-over a ~5 floor, see the loss-curve figure): the same unguarded
-normalisation makes the EVALUATION itself heavy-tailed — a val batch whose
-predicted envelopes sum near zero scores a huge MSE even under a
-well-trained model, and hidden_size 32 gives 3 chances per window for a
-32-term sum to land near zero.  Round 5 addresses this two ways
-(VERDICT r4 item 5): the table reports the robust MEDIAN val loss next to
-the mean (train.py logs `Loss/val_median`), and the `record_h3` grid adds
-the reference's ACTUAL supervised record config — fixed decoder at
-hidden_size 3 (experiments.sh:4-5) — whose 3-term envelope sums rarely
-land near zero, so its val number needs no caveat.
+The supervised VAL trajectory remains spiky (occasional large excursions
+over a low floor, see the loss-curve figure): the same unguarded
+normalisation makes the EVALUATION itself heavy-tailed — a val WINDOW
+whose predicted envelopes sum near zero scores a huge MSE even under a
+well-trained model.  Round 5 addresses this two ways (VERDICT r4 item 5):
+
+1. **Per-window median val loss** next to the mean (train.py computes
+   per-example eval losses; the val split is ~one batch, so a batch-level
+   median would just be the mean).  The medians are the caveat-free
+   numbers: supervised h32 median 15.5 against its 345.8 mean —
+   the typical window is fine; a handful of env.sum~0 windows carry the
+   mean.
+2. **The reference's ACTUAL supervised record config** — fixed decoder at
+   hidden_size 3 (experiments.sh:4-5) — ran as `record_h3`.  The round-4
+   hypothesis (fewer envelope terms -> tail mostly gone) is EMPIRICALLY
+   BACKWARDS: a 3-term signed sum lands near zero far MORE often than a
+   32-term one, so the h3 cell's val mean explodes (5.9e5) while its
+   per-window median is 83.5, and its train curve oscillates from step 0.
+   On this corpus the reference's own h3 record config is
+   unstable-by-construction under its unguarded normalisation; the
+   hidden-32 cell is the better-behaved configuration, and the median
+   column is the honest statistic for both.
 """
     (out / "GRID.md").write_text(md)
     print(f"wrote {out / 'GRID.md'} + {grid_dir}")
