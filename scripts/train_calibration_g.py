@@ -95,6 +95,10 @@ def main():
     params_f16 = jax.tree.map(lambda a: np.asarray(a, np.float16), params)
     ckpt = out / "calibration_g.npz"
     save_npz(str(ckpt), params_f16)
+    if d_params is not None:  # the trained D doubles as the in-env OOD
+        # feature extractor (metrics/ood.py discriminator_extractor)
+        save_npz(str(out / "calibration_d.npz"),
+                 jax.tree.map(lambda a: np.asarray(a, np.float16), d_params))
     n_params = sum(int(np.prod(np.shape(l))) for l in jax.tree.leaves(params))
     (out / "calibration_g_curve.json").write_text(json.dumps({
         "config": {"resolution": args.resolution, "max_channels": args.max_channels,

@@ -55,13 +55,17 @@ def minibatch_stddev(x: jax.Array, group: int = 4) -> jax.Array:
 
 
 class Discriminator(nn.Module):
-    """(B, R, R, 3) -> (B,) realness scores (stylegan2.py:673-729)."""
+    """(B, R, R, 3) -> (B,) realness scores (stylegan2.py:673-729).
+
+    ``features=True`` returns the (B, 512) penultimate activations instead
+    of the score — a TRAINED in-environment feature extractor for the
+    FID/KID/PRDC mechanism (metrics/ood.py discriminator_extractor)."""
 
     resolution: int = 256
     channel_multiplier: int = 2
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, features: bool = False):
         cm = self.channel_multiplier
         chans = {4: 512, 8: 512, 16: 512, 32: 512, 64: 256 * cm, 128: 128 * cm,
                  256: 64 * cm, 512: 32 * cm, 1024: 16 * cm}
@@ -73,6 +77,8 @@ class Discriminator(nn.Module):
         h = EqualConv(chans[4])(h)
         h = h.reshape(h.shape[0], -1)
         h = fused_leaky_relu(nn.Dense(chans[4])(h))
+        if features:
+            return h
         return nn.Dense(1)(h)[:, 0]
 
 

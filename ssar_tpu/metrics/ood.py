@@ -44,6 +44,42 @@ def default_extractor(dim: int = 256, patch: int = 8, seed: int = 0):
     return extract
 
 
+def discriminator_extractor(d_params, resolution: int = 256,
+                            channel_multiplier: int = 1, batch_size: int = 32):
+    """TRAINED in-environment extractor: the calibration run's StyleGAN2
+    discriminator (gan/discriminator.py, trained by
+    scripts/train_calibration_g.py against procedural structured-color
+    images) evaluated at its (B, 512) penultimate features.
+
+    This closes the absolute-number gap as far as a zero-egress image
+    allows: the features come from a real trained discriminative model (not
+    a random projection), so FID/KID/PRDC through it are absolute for this
+    extractor and stable across runs — they are still NOT comparable to
+    published Inception/SwAV numbers (docs/WEIGHTS.md for that path).
+    """
+    import jax
+
+    from ..gan.discriminator import Discriminator
+
+    D = Discriminator(resolution=resolution, channel_multiplier=channel_multiplier)
+
+    @jax.jit
+    def feats(x):  # (B, H, W, 3) in [0, 1] -> (B, 512)
+        return D.apply(d_params, x * 2.0 - 1.0, features=True)
+
+    def extract(images):
+        out = []
+        n = images.shape[0]
+        for i in range(0, n, batch_size):
+            b = images[i : i + batch_size]
+            if b.shape[0] < batch_size:  # one compiled shape
+                b = jnp.concatenate([b, jnp.repeat(b[-1:], batch_size - b.shape[0], 0)])
+            out.append(np.asarray(feats(b))[: min(batch_size, n - i)])
+        return np.concatenate(out)
+
+    return extract
+
+
 def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     """FID between two feature sets (gaussian W2 distance)."""
     mu1, mu2 = feats_a.mean(0), feats_b.mean(0)

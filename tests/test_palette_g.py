@@ -144,3 +144,22 @@ def test_laplacian_segmentation_np_matches_jnp():
         rows, cols = linear_sum_assignment(-conf)
         agree = conf[rows, cols].sum() / len(a)
         assert agree > 0.85, f"k={k}: only {agree:.2%} label agreement after alignment"
+
+
+def test_discriminator_extractor_shapes_and_sensitivity():
+    """metrics/ood.py discriminator_extractor: (N, H, W, 3) -> (N, 512)
+    penultimate features, and distinct image distributions map to distinct
+    feature statistics (mechanism test; the absolute run of record is
+    docs/ood_absolute.json through the TRAINED calibration D)."""
+    from ssar_tpu.gan.discriminator import Discriminator
+    from ssar_tpu.metrics.ood import discriminator_extractor, frechet_distance
+
+    D = Discriminator(resolution=32, channel_multiplier=1)
+    dp = D.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+    ex = discriminator_extractor(dp, resolution=32, batch_size=8)
+    a = ex(jnp.clip(jax.random.uniform(jax.random.PRNGKey(1), (12, 32, 32, 3)), 0, 1))
+    b = ex(jnp.zeros((12, 32, 32, 3)) + 0.9)
+    assert a.shape == (12, 512) and b.shape == (12, 512)
+    same = frechet_distance(a[:6], a[6:])
+    diff = frechet_distance(a, b)
+    assert diff > same
