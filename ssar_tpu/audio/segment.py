@@ -108,8 +108,6 @@ def _kmeans_pp_init_jax(data: jax.Array, k: int) -> jax.Array:
 
 def differentiable_k_means(data: jax.Array, k: int, num_iter: int = 100, cluster_temp: float = 5.0):
     """Soft k-means on the unit sphere (segment.py:108-130)."""
-    from ..utils.platform import host_eager
-
     data = data / (jnp.linalg.norm(data, axis=1, keepdims=True) + 1e-12)
     mu0 = _kmeans_pp_init_jax(jax.lax.stop_gradient(data), k)
 
@@ -120,15 +118,7 @@ def differentiable_k_means(data: jax.Array, k: int, num_iter: int = 100, cluster
         cluster_mean = r.T @ data
         return cluster_mean / (cluster_r[:, None] + 1e-12), None
 
-    if host_eager():
-        # eager python loop on the host backend: segmentation shapes differ
-        # per clip, and compiling a fresh 100-iter fused scan per (n, k)
-        # costs seconds where the loop's tiny eager matmuls cost ms
-        mu = mu0
-        for _ in range(num_iter):
-            mu, _ = body(mu, None)
-    else:
-        mu, _ = jax.lax.scan(body, mu0, None, length=num_iter)
+    mu, _ = jax.lax.scan(body, mu0, None, length=num_iter)
     dist = data @ mu.T
     r = jax.nn.softmax(cluster_temp * dist, axis=1)
     return mu, r, dist

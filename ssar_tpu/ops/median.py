@@ -17,31 +17,17 @@ import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnames=("k", "axis", "mode"))
 def median_filter(x: jax.Array, k: int, axis: int = -1, mode: str = "reflect") -> jax.Array:
     """Sliding-window median of odd width `k` along `axis` with padding.
 
     On TPU, 2-D reflect-padded inputs with k >= 7 dispatch to the pallas
     sliding-median kernel (ops/median_pallas.py) — one HBM pass + a VPU
     sorting network instead of materialising a (.., k) window tensor for
-    XLA's generic sort.  Exact same results.
-
-    Inside host_compute() the jit wrapper is skipped: per-clip segmentation
-    shapes never repeat, so a fresh XLA:CPU jit compile per call costs far
-    more than the eager jnp window median.
+    XLA's generic sort.  Exact same results.  (Host-side per-clip callers
+    use the numpy pipeline — audio/segment.py laplacian_segmentation_np —
+    so no eager/jit split is needed here.)
     """
-    from ..utils.platform import host_eager
-
-    if host_eager():
-        return _median_filter_body(x, k, axis, mode)
-    return _median_filter_jit(x, k, axis, mode)
-
-
-@partial(jax.jit, static_argnames=("k", "axis", "mode"))
-def _median_filter_jit(x: jax.Array, k: int, axis: int = -1, mode: str = "reflect") -> jax.Array:
-    return _median_filter_body(x, k, axis, mode)
-
-
-def _median_filter_body(x: jax.Array, k: int, axis: int, mode: str) -> jax.Array:
     assert k % 2 == 1, "median_filter expects odd window size"
     axis = axis % x.ndim
 
