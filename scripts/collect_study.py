@@ -326,6 +326,15 @@ def main():
 
     lines += diagnosis_section(rows, calibration)
 
+    if (out / "study" / "suppmat").exists():
+        vids = sorted((out / "study" / "suppmat").glob("*.mp4"))
+        if vids:
+            lines += ["", "## Supplementary showcase renders", "",
+                      "Reference `comparison.py:627-703` supplementary_material through",
+                      "the calibration G (shared palette + smoothed base walk per clip):",
+                      ""]
+            lines += [f"- [{v.name}](study/suppmat/{v.name})" for v in vids]
+
     lines += ["", "## Per-model AV correlation heatmaps", ""]
     for m in sorted(by_model):
         lines.append(f"![{m}](study/heatmap_{m}.png)")

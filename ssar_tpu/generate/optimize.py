@@ -405,6 +405,12 @@ def optimize(audio_file: str | None = None, fps: int = 24, n_steps: int = 512, n
         interp = jnp.asarray(interp)
         if interp.ndim == 2:  # (T, 512) w walk -> broadcast over the W+ axis
             interp = interp[:, None, :]
+        if interp.shape[1] > latents.shape[1]:
+            # the split decoder emits S*(n_latent//S) W+ rows, which at
+            # non-power-of-3 n_latent (e.g. 14 at 256px) is fewer than a
+            # mapper-produced walk's; align on the shared rows (synthesis
+            # clamp-gathers missing trailing rows from the last one anyway)
+            interp = interp[:, : latents.shape[1]]
         latents = latents - jnp.mean(latents, axis=0) + interp
     return envs, latents, noise, losses
 
