@@ -45,9 +45,10 @@ GRIDS = {
         "_extra": {"cache_dir": "data/record/cache", "render_size": 256},
     },
     # the reference's ACTUAL supervised record config (experiments.sh:4-5:
-    # fixed decoder, hidden 3) — VERDICT r4 item 5.  hidden 3 also removes
-    # most of the val heavy-tail: only 3 envelope terms per window can land
-    # near zero in the unguarded env/env.sum (docs/GRID.md)
+    # fixed decoder, hidden 3) — VERDICT r4 item 5.  Measured outcome
+    # (docs/GRID.md r5): the 3-term envelope sum crosses zero MORE often,
+    # so this cell is unstable-by-construction under the reference's
+    # unguarded normalisation — see record_h3g for the guarded variant
     "record_h3": {
         "backbone": ["gru"],
         "decoder": ["fixed"],
@@ -58,6 +59,20 @@ GRIDS = {
         "lr": [1e-4],
         "batch_size": [32],
         "_extra": {"cache_dir": "data/record/cache", "render_size": 256},
+    },
+    # the same reference h3 config WITH the opt-in env-guard: demonstrates
+    # that the measured instability is exactly the unguarded normalisation
+    "record_h3g": {
+        "backbone": ["gru"],
+        "decoder": ["fixed"],
+        "loss": ["supervised"],
+        "hidden_size": [3],
+        "num_layers": [4],
+        "n_examples": [128_000],
+        "lr": [1e-4],
+        "batch_size": [32],
+        "_extra": {"cache_dir": "data/record/cache", "render_size": 256,
+                   "env_guard_eps": 1e-2},
     },
     "smoke": {
         "backbone": ["gru", "mlp"],
@@ -84,6 +99,11 @@ def run_grid(name: str, out_dir: str = "runs/experiments"):
     for values in itertools.product(*grid.values()):
         cfg = dict(zip(keys, values))
         run_id = "_".join(f"{k}-{v}" for k, v in cfg.items())
+        # model-affecting extras (e.g. env_guard_eps) get their own cell dir
+        tag = "_".join(f"{k}-{v}" for k, v in extra.items()
+                       if k not in ("cache_dir", "render_size"))
+        if tag:
+            run_id += "_" + tag
         print(f"\n=== {run_id} ===")
         t0 = time.time()
         argv = []
@@ -93,7 +113,10 @@ def run_grid(name: str, out_dir: str = "runs/experiments"):
                  "--ckpt_every", str(cfg["n_examples"])]
         try:
             log_dir, val_loss = train_main(argv)
-            row = {**cfg, "val_loss": val_loss, "seconds": time.time() - t0,
+            row = {**cfg,
+                   **{k: v for k, v in extra.items()
+                      if k not in ("cache_dir", "render_size")},
+                   "val_loss": val_loss, "seconds": time.time() - t0,
                    "log_dir": str(log_dir)}
             final = Path(log_dir) / "final_metrics.json"
             if final.exists():  # robust median statistic (docs/GRID.md)

@@ -83,9 +83,10 @@ def main():
     grid_dir.mkdir(parents=True, exist_ok=True)
 
     results = json.loads((runs / "record_results.json").read_text())
-    h3_path = runs / "record_h3_results.json"
-    if h3_path.exists():  # the reference's actual supervised record config
-        results = results + json.loads(h3_path.read_text())
+    for extra_grid in ("record_h3", "record_h3g"):
+        p = runs / f"{extra_grid}_results.json"
+        if p.exists():  # h3 record config + its env-guarded variant
+            results = results + json.loads(p.read_text())
     cells = {}
     for cell in sorted(runs.glob("backbone-*")):
         run = latest_run(cell)
@@ -95,6 +96,8 @@ def main():
         hidden = [p for p in cell.name.split("_") if p.startswith("size-")]
         h = hidden[0][5:] if hidden else "32"
         key = loss if h == "32" else f"{loss}-h{h}"
+        if "env_guard" in cell.name:
+            key += "-guarded"
         cells[key] = run
         for pat, dst in [("diagnostics_*.png", f"diagnostics_{key}.png"),
                          ("sample_*.mp4", f"sample_{key}.mp4")]:
@@ -105,16 +108,17 @@ def main():
     shutil.copy(runs / "record_results.csv", grid_dir / "record_results.csv")
     loss_curves_figure(cells, grid_dir / "loss_curves.png")
 
-    rows = ["| loss mode | hidden | layers | examples | final val loss (mean) | val (median) | wall-clock (s) | run |",
-            "|---|---|---|---|---|---|---|---|"]
+    rows = ["| loss mode | hidden | layers | env guard | examples | final val loss (mean) | val (median) | wall-clock (s) | run |",
+            "|---|---|---|---|---|---|---|---|---|"]
     for r in results:
+        guard = r.get("env_guard_eps", 0) or "—"
         if "error" in r:
-            rows.append(f"| {r['loss']} | {r['hidden_size']} | {r['num_layers']} | "
+            rows.append(f"| {r['loss']} | {r['hidden_size']} | {r['num_layers']} | {guard} | "
                         f"{r['n_examples']} | ERROR | — | — | {r.get('error', '')[:60]} |")
             continue
         med = r.get("val_loss_median")
         med_s = f"{med:.4g}" if isinstance(med, (int, float)) else "—"
-        rows.append(f"| {r['loss']} | {r['hidden_size']} | {r['num_layers']} | "
+        rows.append(f"| {r['loss']} | {r['hidden_size']} | {r['num_layers']} | {guard} | "
                     f"{r['n_examples']} | {r['val_loss']:.4g} | {med_s} | {r['seconds']:.0f} | "
                     f"`{Path(r['log_dir']).name}` |")
 
@@ -172,6 +176,13 @@ well-trained model.  Round 5 addresses this two ways (VERDICT r4 item 5):
    unstable-by-construction under its unguarded normalisation; the
    hidden-32 cell is the better-behaved configuration, and the median
    column is the honest statistic for both.
+3. **Root cause proven by the guarded re-run** (`record_h3g`): the SAME
+   h3 config with the opt-in `--env_guard_eps 1e-2` (models/reactor.py —
+   clamps |env.sum| away from zero, sign-preserving; 0 = reference-exact,
+   latent_n_noise2.py:151) trains completely stably: val mean 2.53 /
+   per-window median 2.21, smooth flat curves, vs the unguarded cell's
+   5.9e5 mean.  The instability is exactly the unguarded normalisation —
+   a one-line opt-in fix the reference lacks.
 """
     (out / "GRID.md").write_text(md)
     print(f"wrote {out / 'GRID.md'} + {grid_dir}")

@@ -85,6 +85,8 @@ def build_models(G, grid_dir: Path, max_val_loss: float, model_file: str | None 
                 val_by_dir[Path(row["log_dir"]).name] = row.get("val_loss")
 
     for cell in sorted(grid_dir.glob("backbone-gru_*")):
+        if "_hidden_size-32_" not in cell.name:
+            continue  # h3 / guarded diagnostics cells are not study models
         loss = [p for p in cell.name.split("_") if p.startswith("loss-")][0][5:]
         runs = sorted(d for d in cell.iterdir() if (d / "ckpt").exists())
         if not runs:

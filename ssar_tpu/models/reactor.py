@@ -79,6 +79,15 @@ class FixedLatentNoiseDecoder(nn.Module):
     hidden_size: int = 12
     n_latent_split: int = 3
     n_noise: int = 4
+    # OPT-IN stability guard (default 0 = the reference's exact unguarded
+    # normalisation, latent_n_noise2.py:151).  The unguarded env/env.sum
+    # fires enormous outputs whenever a window's envelope sum lands near
+    # zero — the measured cause of both the training collapse (docs/GRID.md
+    # r3) and the heavy-tailed val metric; at hidden_size 3 (the
+    # reference's own record config) the 3-term sum crosses zero so often
+    # the cell is unstable-by-construction (docs/GRID.md r5).  A small eps
+    # clamps |sum| away from zero, preserving sign.
+    env_guard_eps: float = 0.0
 
     @nn.compact
     def __call__(self, x):
@@ -89,7 +98,11 @@ class FixedLatentNoiseDecoder(nn.Module):
         outs = []
         for i in range(S):
             env = x[..., i * H : (i + 1) * H]
-            env = env / jnp.sum(env, axis=-1, keepdims=True)
+            s = jnp.sum(env, axis=-1, keepdims=True)
+            if self.env_guard_eps:
+                s = jnp.where(jnp.abs(s) < self.env_guard_eps,
+                              jnp.where(s >= 0, self.env_guard_eps, -self.env_guard_eps), s)
+            env = env / s
             lat = jax.lax.stop_gradient(self.latents[i * H : (i + 1) * H, i * W : (i + 1) * W])
             outs.append(jnp.einsum("BTH,HWL->BTWL", env, lat))
         latents = jnp.concatenate(outs, axis=2)
@@ -221,6 +234,7 @@ class LatentNoiseReactor(nn.Module):
     input_mean: jnp.ndarray
     input_std: jnp.ndarray
     latents: jnp.ndarray | None = None  # palette for the fixed decoder
+    env_guard_eps: float = 0.0  # opt-in fixed-decoder stability guard
     residual: bool = True
     num_layers: int = 2
     backbone: str = "sashimi"
@@ -250,7 +264,8 @@ class LatentNoiseReactor(nn.Module):
 
         if self.decoder == "fixed":
             latents, noise = FixedLatentNoiseDecoder(
-                self.latents, self.hidden_size, self.n_latent_split, self.n_noise
+                self.latents, self.hidden_size, self.n_latent_split, self.n_noise,
+                env_guard_eps=self.env_guard_eps,
             )(envelopes)
         else:
             latents, noise = LearnedLatentNoiseDecoder(

@@ -46,6 +46,7 @@ def make_model(args, mean, std, palette):
         residual=args.residual, num_layers=args.num_layers, backbone=args.backbone,
         hidden_size=args.hidden_size, decoder=args.decoder,
         n_latent_split=args.n_latent_split, n_noise=4, dropout=args.dropout,
+        env_guard_eps=args.env_guard_eps,
     )
 
 
@@ -222,6 +223,9 @@ def main(argv=None):
                              "Adam diverged at step ~64k on the record grid; clip=1.0 "
                              "trains through it without changing converged losses.")
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--env_guard_eps", type=float, default=0.0,
+                        help="opt-in fixed-decoder env/env.sum stability guard "
+                             "(0 = reference-exact; see models/reactor.py)")
     parser.add_argument("--eval_every", type=int, default=10_240)
     parser.add_argument("--ckpt_every", type=int, default=10_240)
     parser.add_argument("--cache_dir", type=str, default=None, help="preprocessed dataset dir")
