@@ -163,3 +163,30 @@ def test_discriminator_extractor_shapes_and_sensitivity():
     same = frechet_distance(a[:6], a[6:])
     diff = frechet_distance(a, b)
     assert diff > same
+
+
+def test_env_guard_eps_bounds_decoder_output():
+    """FixedLatentNoiseDecoder env_guard_eps (opt-in; 0 = reference-exact
+    latent_n_noise2.py:151): near-zero envelope sums explode the unguarded
+    decoder and stay bounded with the guard — the measured root cause of
+    the h3 record cell's instability (docs/GRID.md r5)."""
+    from ssar_tpu.models.reactor import FixedLatentNoiseDecoder
+
+    pal = jnp.asarray(np.random.RandomState(0).randn(9, 18, 512), jnp.float32)
+    x_tiny = jnp.full((1, 4, 3 * 3 + 4), 1e-6)  # envelope sums ~3e-6
+    outs = {}
+    for eps in (0.0, 1e-2):
+        dec = FixedLatentNoiseDecoder(pal, 3, 3, 2, env_guard_eps=eps)
+        (lat, _), _ = dec.init_with_output(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x_tiny)
+        outs[eps] = float(jnp.abs(lat).max())
+    assert outs[0.0] > 100 * outs[1e-2]  # unguarded explodes relative to guarded
+    # away from the singularity the guard is a no-op (same outputs)
+    x_ok = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (1, 4, 13))) + 0.5
+    lats = {}
+    for eps in (0.0, 1e-2):
+        dec = FixedLatentNoiseDecoder(pal, 3, 3, 2, env_guard_eps=eps)
+        (lat, _), _ = dec.init_with_output(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x_ok)
+        lats[eps] = np.asarray(lat)
+    np.testing.assert_allclose(lats[0.0], lats[1e-2], rtol=1e-6)
