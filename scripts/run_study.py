@@ -200,8 +200,6 @@ def main():
         # plainly ran (VERDICT r4 weak #6): record the cache hit explicitly
         wall["calibration_s"] = "cached" if cached else round(time.time() - t0, 1)
 
-    import os
-
     n_before = len(list((out / "study").glob("*.json"))) if (out / "study").exists() else 0
     t0 = time.time()
     records = compare_models("study", models, clips, G, out_dir=args.out)
